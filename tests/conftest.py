@@ -1,0 +1,27 @@
+"""Test env: force CPU jax with an 8-device virtual mesh.
+
+Must run before jax is first imported anywhere (SURVEY.md §4: the jax-native
+way to exercise multi-device code without a cluster).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def mock_tokenizer():
+    from grove_tpu.text.mock_tokenizer import MockTokenizer
+    return MockTokenizer()
