@@ -1,0 +1,102 @@
+"""Benchmark: grounded-caption clips/sec on one chip, end-to-end.
+
+Runs the full single-clip inference path (CLIP encode -> SAM encode ->
+LM prefill + greedy KV decode -> grounding head) on the structurally-complete
+`GroveConfig.small()` model with synthetic frames, everything inside jitted
+calls so the axon relay's per-launch overhead doesn't pollute the numbers
+(see .claude/skills/verify/SKILL.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is clips/sec relative to the round-1 recorded value in
+BENCH_BASELINE.json (1.0 on the first run).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FILE = os.path.join(os.path.dirname(__file__),
+                             "BENCH_BASELINE.json")
+MAX_NEW_TOKENS = 64
+N_WARMUP = 1
+N_ITERS = 8
+
+
+def main():
+    from grove_tpu.config import GroveConfig
+    from grove_tpu.infer.generate import greedy_decode
+    from grove_tpu.models.grove import GroveModel, init_grove_params
+
+    cfg = GroveConfig.small()
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.bfloat16, batch=1)
+    rng = np.random.default_rng(0)
+
+    t = cfg.num_frames
+    nv = cfg.num_video_tokens
+    prompt_len = nv + 48
+    ids = rng.integers(3, 32000, size=(1, prompt_len)).astype(np.int32)
+    ids[:, 0] = cfg.tokens.bos
+    ids[:, 2:2 + nv] = 0
+    frames_clip = jnp.asarray(rng.normal(size=(
+        1, t, cfg.clip.image_size, cfg.clip.image_size, 3)), jnp.bfloat16)
+    frames_sam = jnp.asarray(rng.normal(size=(
+        1, t, cfg.sam_enc.img_size, cfg.sam_enc.img_size, 3)), jnp.bfloat16)
+    ids_j = jnp.asarray(ids)
+    vs = jnp.asarray(np.full((1,), 2, np.int32))
+    det_pos = jnp.asarray(np.full((1, cfg.max_phrases), prompt_len - 3,
+                                  np.int32))
+
+    @jax.jit
+    def clip_once(params, frames_clip, frames_sam, ids, vs, det_pos):
+        ve, _ = model.apply({"params": params}, frames_clip,
+                            method=GroveModel.encode_video)
+        ie = model.apply({"params": params}, frames_sam,
+                         method=GroveModel.encode_grounding)
+        gen_ids, hidden = greedy_decode(
+            model, {"params": params}, ids, ve, vs,
+            max_new_tokens=MAX_NEW_TOKENS, eos_id=cfg.tokens.eos)
+        boxes, obj = model.apply({"params": params}, hidden, det_pos, ie,
+                                 method=GroveModel.ground)
+        return gen_ids, boxes, obj
+
+    params = variables["params"]
+    for _ in range(N_WARMUP):
+        out = clip_once(params, frames_clip, frames_sam, ids_j, vs, det_pos)
+        _ = np.asarray(out[1])
+
+    t0 = time.time()
+    for _ in range(N_ITERS):
+        out = clip_once(params, frames_clip, frames_sam, ids_j, vs, det_pos)
+        # fetch results every iteration: launches pipeline asynchronously on
+        # the axon relay, so per-iteration consumption is the honest measure
+        _ = np.asarray(out[1])
+    dt = (time.time() - t0) / N_ITERS
+    clips_per_sec = 1.0 / dt
+
+    vs_baseline = 1.0
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = clips_per_sec / base["value"]
+    else:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"metric": "grove_small_clips_per_sec",
+                       "value": clips_per_sec}, f)
+
+    print(json.dumps({
+        "metric": "grove_small_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 4),
+        "unit": "clips/s",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,12 @@ class ClipVisionConfig:
                    intermediate_size=64, num_layers=3, num_heads=4,
                    adapter_every=3, adapter_h=2, num_frames=2)
 
+    @classmethod
+    def small(cls) -> "ClipVisionConfig":
+        return cls(image_size=224, patch_size=14, hidden_size=512,
+                   intermediate_size=2048, num_layers=8, num_heads=8,
+                   adapter_every=3, adapter_h=16, num_frames=8)
+
 
 @dataclass(frozen=True)
 class SamEncoderConfig:
@@ -101,6 +107,13 @@ class SamEncoderConfig:
         return cls(img_size=32, patch_size=16, embed_dim=32, depth=2,
                    num_heads=4, out_chans=16, window_size=2,
                    global_attn_indexes=(1,), num_frames=2)
+
+    @classmethod
+    def small(cls) -> "SamEncoderConfig":
+        return cls(img_size=256, patch_size=16, embed_dim=384, depth=6,
+                   num_heads=6, out_chans=256, window_size=8,
+                   global_attn_indexes=(2, 5), num_frames=8,
+                   pretrain_img_size=256)
 
 
 @dataclass(frozen=True)
@@ -171,6 +184,12 @@ class LlamaConfig:
                    intermediate_size=64, num_layers=2, num_heads=4,
                    num_kv_heads=4, max_position_embeddings=512)
 
+    @classmethod
+    def small(cls) -> "LlamaConfig":
+        return cls(vocab_size=32000, extra_vocab_size=7, hidden_size=768,
+                   intermediate_size=2048, num_layers=6, num_heads=12,
+                   num_kv_heads=12, max_position_embeddings=2048)
+
 
 @dataclass(frozen=True)
 class SpecialTokenIds:
@@ -182,13 +201,15 @@ class SpecialTokenIds:
     (IMAGE_TOKEN_INDEX = -200, `utils/utils.py:10`).
     """
 
-    det: int = 32005
-    bop: int = 32006              # <p>
-    eop: int = 32007              # </p>
-    bbox: int = 32003
-    point: int = 32004
-    vid_start: int = 32001
-    vid_end: int = 32002
+    # ids follow the reference registration order on a 32000 base vocab
+    # (`train.py:124-152`): <vid_start> <vid_end> <bbox> <point> [DET] <p> </p>
+    det: int = 32004
+    bop: int = 32005              # <p>
+    eop: int = 32006              # </p>
+    bbox: int = 32002
+    point: int = 32003
+    vid_start: int = 32000
+    vid_end: int = 32001
     pad: int = 0
     bos: int = 1
     eos: int = 2
@@ -248,9 +269,35 @@ class GroveConfig:
             sam_enc=SamEncoderConfig.tiny(),
             sam_dec=SamDecoderConfig.tiny(),
             llama=LlamaConfig.tiny(),
+            # ids follow MockTokenizer (base vocab 128 + GROVE_EXTRA_TOKENS
+            # in registration order)
+            tokens=SpecialTokenIds(vid_start=128, vid_end=129, bbox=130,
+                                   point=131, det=132, bop=133, eop=134,
+                                   pad=0, bos=1, eos=2, unk=0),
             num_frames=clip.num_frames,
             pool_t=clip.num_frames, pool_h=2, pool_w=2,
             max_phrases=4,
             max_seq_len=64,
             out_dim=16,
+        )
+
+    @classmethod
+    def small(cls) -> "GroveConfig":
+        """Structurally-complete scaled-down flagship for single-chip
+        compile checks and benchmarking (full 7B-class weights don't exist
+        in this environment)."""
+        return cls(
+            clip=ClipVisionConfig.small(),
+            sam_enc=SamEncoderConfig.small(),
+            sam_dec=SamDecoderConfig(input_image_size=256,
+                                     image_embedding_size=16),
+            llama=LlamaConfig.small(),
+            tokens=SpecialTokenIds(vid_start=32000, vid_end=32001,
+                                   bbox=32002, point=32003, det=32004,
+                                   bop=32005, eop=32006),
+            num_frames=8,
+            pool_t=8, pool_h=8, pool_w=9,
+            max_phrases=16,
+            max_seq_len=512,
+            out_dim=256,
         )

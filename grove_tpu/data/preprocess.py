@@ -1,0 +1,59 @@
+"""Host-side frame preprocessing for the two vision towers.
+
+Numpy/PIL re-implementations of the reference's per-frame transforms
+(`HowTo100M.py:309-313`):
+  * CLIP: shortest-edge resize -> center crop -> rescale -> normalize
+    (HF `CLIPImageProcessor` for openai/clip-vit-large-patch14-336);
+  * SAM: `ResizeLongestSide` -> normalize -> bottom/right zero-pad to square
+    (`model/SAM/utils/transforms.py`, `HowTo100M.py:168-178`).
+
+Outputs are channels-LAST (H, W, 3) float32 — the TPU-native layout — vs the
+reference's NCHW torch tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+from PIL import Image
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+SAM_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+SAM_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def clip_preprocess(frame: np.ndarray, size: int = 336) -> np.ndarray:
+    """(H, W, 3) uint8 -> (size, size, 3) float32, CLIP-normalized."""
+    img = Image.fromarray(frame)
+    w, h = img.size
+    short = min(w, h)
+    scale = size / short
+    new_w, new_h = round(w * scale), round(h * scale)
+    img = img.resize((new_w, new_h), Image.BICUBIC)
+    left = (new_w - size) // 2
+    top = (new_h - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - CLIP_MEAN) / CLIP_STD
+
+
+def sam_preprocess(frame: np.ndarray, size: int = 512) -> np.ndarray:
+    """(H, W, 3) uint8 -> (size, size, 3) float32, SAM-normalized + padded."""
+    h, w = frame.shape[:2]
+    scale = size / max(h, w)
+    new_h, new_w = int(h * scale + 0.5), int(w * scale + 0.5)
+    img = Image.fromarray(frame).resize((new_w, new_h), Image.BILINEAR)
+    arr = (np.asarray(img, np.float32) - SAM_MEAN) / SAM_STD
+    out = np.zeros((size, size, 3), np.float32)
+    out[:new_h, :new_w] = arr
+    return out
+
+
+def preprocess_frames(frames: np.ndarray, clip_size: int = 336,
+                      sam_size: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """(T, H, W, 3) uint8 -> (clip (T,c,c,3), sam (T,s,s,3)) float32."""
+    clip = np.stack([clip_preprocess(f, clip_size) for f in frames])
+    sam = np.stack([sam_preprocess(f, sam_size) for f in frames])
+    return clip, sam

@@ -1,0 +1,115 @@
+"""Greedy KV-cache generation + grounded-caption assembly.
+
+TPU-native rebuild of the reference's `evaluate()` path
+(`model/GROVE.py:412-451`): HF `generate` with per-step hidden-state capture
+becomes a single jitted prefill + `lax.scan` decode loop whose carry holds the
+KV caches; per-step post-final-norm hidden states are collected in a fixed
+(B, max_new, D) buffer for [DET] gathering. Early stop is emulated by
+freezing sequences after EOS (a fixed-length scan compiles once and has no
+host round-trips per token — see SKILL gotcha on the axon relay).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GroveConfig
+from ..models.grove import GroveModel
+from ..models.llama import init_kv_caches
+from ..text import tagging
+from ..text.packing import det_gather_positions
+
+
+def greedy_decode(model: GroveModel, variables, spliced_ids, video_embeds,
+                  video_start, *, max_new_tokens: int, eos_id: int,
+                  pad_id: int = 0, cache_dtype=jnp.bfloat16):
+    """Greedy generation. spliced_ids: (B, Ls) unpadded equal-length prompts.
+
+    Returns (generated_ids (B, max_new), hidden (B, Ls+max_new, D)).
+    """
+    cfg = model.cfg
+    b, ls = spliced_ids.shape
+    caches = init_kv_caches(cfg.llama, b, ls + max_new_tokens,
+                            dtype=cache_dtype)
+
+    prefill_hidden, logits, caches = model.apply(
+        variables, spliced_ids, video_embeds, video_start, caches,
+        method=GroveModel.prefill)
+    first_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    def step(carry, i):
+        tok, caches, done = carry
+        hidden, logits, caches = model.apply(
+            variables, tok[:, None], ls + i, caches,
+            method=GroveModel.decode_step)
+        next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        emitted = jnp.where(done, pad_id, tok)
+        done_next = done | (tok == eos_id)
+        next_tok = jnp.where(done_next, pad_id, next_tok)
+        return (next_tok, caches, done_next), (emitted, hidden[:, 0])
+
+    (_, _, _), (gen_ids, step_hidden) = jax.lax.scan(
+        step, (first_tok, caches, jnp.zeros((b,), bool)),
+        jnp.arange(max_new_tokens))
+    gen_ids = gen_ids.T                                  # (B, max_new)
+    step_hidden = step_hidden.transpose(1, 0, 2)         # (B, max_new, D)
+    hidden = jnp.concatenate([prefill_hidden, step_hidden], axis=1)
+    return gen_ids, hidden
+
+
+def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
+                      tokenizer, spliced_ids: np.ndarray,
+                      video_start: np.ndarray,
+                      frames_clip, frames_sam, *,
+                      max_new_tokens: int = 64) -> Dict:
+    """Single-call grounded caption generation (evaluate-mode equivalent).
+
+    Host orchestration: encoders -> greedy decode -> host det-position
+    extraction -> grounding head. Returns raw arrays + parsed text fields.
+    """
+    video_embeds, _ = model.apply(variables, frames_clip,
+                                  method=GroveModel.encode_video)
+    image_embeddings = model.apply(variables, frames_sam,
+                                   method=GroveModel.encode_grounding)
+    gen_ids, hidden = greedy_decode(
+        model, variables, jnp.asarray(spliced_ids), video_embeds,
+        jnp.asarray(video_start), max_new_tokens=max_new_tokens,
+        eos_id=cfg.tokens.eos, pad_id=cfg.tokens.pad)
+
+    gen_np = np.asarray(gen_ids)
+    full_ids = np.concatenate([np.asarray(spliced_ids), gen_np], axis=1)
+
+    b = full_ids.shape[0]
+    det_positions = np.zeros((b, cfg.max_phrases), np.int32)
+    phrase_mask = np.zeros((b, cfg.max_phrases), bool)
+    for i in range(b):
+        pos, mask = det_gather_positions(full_ids[i], cfg.tokens.det,
+                                         cfg.max_phrases)
+        det_positions[i] = pos
+        phrase_mask[i] = mask
+
+    boxes, obj = model.apply(variables, hidden,
+                             jnp.asarray(det_positions), image_embeddings,
+                             method=GroveModel.ground)
+
+    outputs = []
+    for i in range(b):
+        toks = [int(t) for t in gen_np[i] if t != cfg.tokens.pad]
+        text = tokenizer.decode(toks, skip_special_tokens=False)
+        parsed = tagging.parse_generation(text)
+        outputs.append(parsed)
+
+    return {
+        "generated_ids": gen_np,
+        "pred_boxes": np.asarray(boxes, np.float32),
+        "objectness_logits": (np.asarray(obj, np.float32)
+                              if obj is not None else None),
+        "det_positions": det_positions,
+        "phrase_mask": phrase_mask,
+        "parsed": outputs,
+    }

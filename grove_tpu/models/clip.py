@@ -1,0 +1,166 @@
+"""CLIP ViT vision tower with video adapters + 3-D pooling, TPU-native.
+
+Re-design of the reference's vendored HF CLIP
+(`model/llava/model/multimodal_encoder/modeling_clip.py`) restricted to the
+vision path GROVE uses:
+
+* pre-layernorm ViT (cls + patch tokens, learned position embeddings);
+* a zero-init-gated Conv3d `SpatioTemporalConvAdapter` after every
+  `adapter_every`-th encoder layer (idx % 3 == 0, `modeling_clip.py:705-707`),
+  operating only on the patch tokens with the reference's (t=8, h=16)
+  reshape quirk (`modeling_clip.py:604`);
+* feature selection at hidden-states layer `select_layer` (-2), dropping the
+  cls token (`clip_encoder.py:45-53`);
+* AdaptiveAvgPool3d over (t, h, w) -> (pool_t, pool_h, pool_w) = 576 video
+  tokens (`pooling.py:6-25`);
+* frames folded into the batch axis exactly like the reference
+  (`clip_encoder.py:70`), so the tower is embarrassingly data-parallel over
+  frames.
+
+The tower also returns the multi-level hidden states needed by the region
+encoder (layers [-2, -5, -8, -11], `llava_with_region_arch.py:115-120`).
+
+Like the reference (whose tower forward is wrapped in @torch.no_grad(),
+`clip_encoder.py:55`), callers treat the tower output as non-differentiable;
+we expose that via `stop_gradient` at the call site in grove.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ClipVisionConfig
+from ..ops.attention import multi_head_attention
+from .layers import SpatioTemporalConvAdapter, adaptive_avg_pool_3d
+
+
+class ClipAttention(nn.Module):
+    cfg: ClipVisionConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        b, s, d = x.shape
+        hd = d // cfg.num_heads
+        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, s, cfg.num_heads, hd)
+        k = k.reshape(b, s, cfg.num_heads, hd)
+        v = v.reshape(b, s, cfg.num_heads, hd)
+        out = multi_head_attention(q, k, v)
+        out = out.reshape(b, s, d)
+        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+
+
+class ClipEncoderLayer(nn.Module):
+    cfg: ClipVisionConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
+                         dtype=self.dtype, name="layer_norm1")(x)
+        x = x + ClipAttention(self.cfg, dtype=self.dtype, name="self_attn")(h)
+        h = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
+                         dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype,
+                     name="fc1")(h)
+        # OpenAI CLIP uses quick_gelu: x * sigmoid(1.702 x)
+        h = h * jax.nn.sigmoid(1.702 * h)
+        h = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class ClipVideoAdapter(nn.Module):
+    """Adapter wrapper handling the cls/patch split + (t, h=16) reshape."""
+    cfg: ClipVisionConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # x: (b*t, 1+P, c)
+        cfg = self.cfg
+        cls_tok = x[:, :1]
+        seq = x[:, 1:]
+        bt, p, c = seq.shape
+        t = cfg.num_frames
+        b = bt // t
+        h = cfg.adapter_h
+        w = p // h
+        grid = seq.reshape(b, t, h, w, c)
+        grid = SpatioTemporalConvAdapter(dtype=self.dtype,
+                                         name="adapter")(grid)
+        seq = grid.reshape(bt, p, c)
+        return jnp.concatenate([cls_tok, seq], axis=1)
+
+
+class ClipVisionTower(nn.Module):
+    """Full tower: embeddings -> encoder(+adapters) -> select/pool.
+
+    Input: frames (B, T, H, W, 3) already CLIP-preprocessed.
+    Returns (video_tokens (B, N, C_hidden), mlvl_features tuple) where
+    mlvl_features are the patch tokens of selected intermediate layers for
+    the region encoder.
+    """
+    cfg: ClipVisionConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    pool_thw: Tuple[int, int, int] = (8, 8, 9)
+    num_region_levels: int = 4
+
+    @nn.compact
+    def __call__(self, frames):
+        cfg = self.cfg
+        b, t, hh, ww, _ = frames.shape
+        x = frames.reshape(b * t, hh, ww, 3).astype(self.dtype)
+
+        # --- embeddings (HF CLIPVisionEmbeddings) ---
+        patches = nn.Conv(cfg.hidden_size,
+                          (cfg.patch_size, cfg.patch_size),
+                          strides=(cfg.patch_size, cfg.patch_size),
+                          use_bias=False, dtype=self.dtype,
+                          name="patch_embedding")(x)
+        patches = patches.reshape(b * t, cfg.num_patches, cfg.hidden_size)
+        cls_emb = self.param("class_embedding",
+                             nn.initializers.normal(0.02),
+                             (cfg.hidden_size,), jnp.float32)
+        cls_tok = jnp.broadcast_to(cls_emb.astype(self.dtype),
+                                   (b * t, 1, cfg.hidden_size))
+        x = jnp.concatenate([cls_tok, patches], axis=1)
+        pos = self.param("position_embedding",
+                         nn.initializers.normal(0.02),
+                         (cfg.num_patches + 1, cfg.hidden_size), jnp.float32)
+        x = x + pos.astype(self.dtype)[None]
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="pre_layrnorm")(x)  # HF's typo'd name, kept
+
+        # --- encoder with adapters + hidden-state taps ---
+        hidden_states: List[jax.Array] = [x]
+        for i in range(cfg.num_layers):
+            x = ClipEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
+            if i % cfg.adapter_every == 0:
+                x = ClipVideoAdapter(cfg, dtype=self.dtype,
+                                     name=f"adapters_{i // cfg.adapter_every}")(x)
+            hidden_states.append(x)
+
+        # --- feature select (layer -2, patch tokens) ---
+        feats = hidden_states[cfg.select_layer][:, 1:]  # (b*t, P, C)
+
+        # --- 3-D adaptive pooling to video tokens ---
+        g = cfg.grid
+        vol = feats.reshape(b, t, g, g, cfg.hidden_size)
+        pooled = adaptive_avg_pool_3d(vol, self.pool_thw, axes=(1, 2, 3))
+        pt, ph, pw = self.pool_thw
+        video_tokens = pooled.reshape(b, pt * ph * pw, cfg.hidden_size)
+
+        # --- multi-level region features (layers -2, -5, -8, -11) ---
+        sel = cfg.select_layer
+        mlvl = hidden_states[sel::-cfg.adapter_every]
+        mlvl = mlvl[::-1][-self.num_region_levels:]
+        mlvl = tuple(h[:, 1:] for h in mlvl)
+
+        return video_tokens, mlvl

@@ -1,0 +1,247 @@
+"""GROVE top-level model: grounded video caption generation, TPU-native.
+
+Assembles the four sub-networks (CLIP tower + projector, SAM encoder,
+LLaMA decoder, SAM-derived box decoder) with the mode-multiplexed surface of
+the reference `GROVEForCausalLM` (`model/GROVE.py:101-451`) re-expressed as
+explicit flax methods:
+
+  encode_video        == mode "encode_images" (`model/GROVE.py:141-142`)
+  encode_grounding    == mode "get_grounding_encoder_embs" (`:143-144`)
+  dense_pe            == mode "get_dense_pe" (`:145-146`)
+  forward_train       == model_forward(inference=False) (`:156-198`)
+  forward_boxes       == model_forward(inference=True) teacher-forced boxes
+  prefill/decode_step == the generate loop innards of evaluate() (`:412-451`)
+  ground              == _process_hidden_states + prompt_encoder +
+                         mask_decoder (`:248-331`)
+
+Static-shape contract (vs the reference's ragged lists):
+  frames_clip  (B, T, Hc, Wc, 3)    CLIP-preprocessed frames
+  frames_sam   (B, T, Hs, Ws, 3)    SAM-preprocessed frames
+  input_ids    (B, Ls)              spliced ids (video run = filler)
+  video_start  (B,)                 index of the video token run
+  det_positions(B, P)               hidden-state gather index per phrase
+  phrase_mask  (B, P)
+  boxes out    (B, T, P, 4) cxcywh in [0,1]; objectness logits (B, T, P)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import GroveConfig
+from ..ops import losses as loss_ops
+from .clip import ClipVisionTower
+from .llama import (LlamaEmbed, LlamaLMHead, LlamaModel, init_kv_caches)
+from .sam_decoder import GroveBoxDecoder, PromptEncoder
+from .sam_encoder import SamImageEncoder
+
+
+class GroveModel(nn.Module):
+    cfg: GroveConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        self.clip_tower = ClipVisionTower(
+            cfg.clip, dtype=self.dtype,
+            pool_thw=(cfg.pool_t, cfg.pool_h, cfg.pool_w), name="vision_tower")
+        self.mm_projector_0 = nn.Dense(cfg.llama.hidden_size,
+                                       dtype=self.dtype, name="mm_projector_0")
+        self.mm_projector_2 = nn.Dense(cfg.llama.hidden_size,
+                                       dtype=self.dtype, name="mm_projector_2")
+        self.grounding_encoder = SamImageEncoder(cfg.sam_enc, dtype=self.dtype,
+                                                 name="grounding_encoder")
+        self.prompt_encoder = PromptEncoder(cfg.sam_dec, dtype=self.dtype,
+                                            name="prompt_encoder")
+        self.box_decoder = GroveBoxDecoder(cfg.sam_dec, dtype=self.dtype,
+                                           name="mask_decoder")
+        self.text_fc_0 = nn.Dense(cfg.llama.hidden_size, dtype=self.dtype,
+                                  name="text_hidden_fcs_0")
+        self.text_fc_2 = nn.Dense(cfg.out_dim, dtype=self.dtype,
+                                  name="text_hidden_fcs_2")
+        self.embed_tokens = LlamaEmbed(cfg.llama, dtype=self.dtype,
+                                       name="embed_tokens")
+        self.llama = LlamaModel(cfg.llama, dtype=self.dtype, remat=self.remat,
+                                name="llama")
+        self.lm_head = LlamaLMHead(cfg.llama, dtype=self.dtype,
+                                   name="lm_head")
+
+    # ------------------------------------------------------------------
+    # encoders
+    # ------------------------------------------------------------------
+
+    def encode_video(self, frames_clip):
+        """CLIP tower + mm_projector -> (B, N_video, hidden).
+
+        The tower itself is non-differentiable like the reference
+        (@torch.no_grad on `clip_encoder.py:55`); gradients flow only into
+        the projector. Adapter training would lift the stop_gradient.
+        """
+        tokens, mlvl = self.clip_tower(frames_clip)
+        tokens = jax.lax.stop_gradient(tokens)
+        x = self.mm_projector_0(tokens)
+        x = nn.gelu(x, approximate=False)
+        x = self.mm_projector_2(x)
+        return x, mlvl
+
+    def encode_grounding(self, frames_sam):
+        """SAM encoder -> (B*T, HW, C_dec) flattened frame embeddings."""
+        feat = self.grounding_encoder(frames_sam)      # (B*T, g, g, C)
+        bt, g, _, c = feat.shape
+        return feat.reshape(bt, g * g, c)
+
+    def dense_pe(self):
+        return self.prompt_encoder.get_dense_pe()      # (g, g, C)
+
+    # ------------------------------------------------------------------
+    # language model
+    # ------------------------------------------------------------------
+
+    def _splice(self, input_ids, video_embeds, video_start):
+        """Insert video features into the token embedding stream."""
+        embeds = self.embed_tokens(input_ids)          # (B, Ls, D)
+
+        def one(row, feats, start):
+            safe = jnp.maximum(start, 0)
+            spliced = jax.lax.dynamic_update_slice(
+                row, feats.astype(row.dtype), (safe, 0))
+            return jnp.where(start >= 0, spliced, row)
+
+        return jax.vmap(one)(embeds, video_embeds, video_start)
+
+    def lm_forward(self, input_ids, video_embeds, video_start,
+                   attn_mask=None):
+        """Full-sequence LM pass -> (hidden post-norm, logits)."""
+        x = self._splice(input_ids, video_embeds, video_start)
+        positions = jnp.arange(input_ids.shape[1])[None, :]
+        positions = jnp.broadcast_to(positions, input_ids.shape)
+        hidden, _ = self.llama(x, positions)
+        logits = self.lm_head(hidden)
+        return hidden, logits
+
+    def prefill(self, input_ids, video_embeds, video_start, kv_caches):
+        """Prompt pass writing the KV cache; prompts must be unpadded
+        (equal length across the batch, as in the reference's fixed
+        inference instruction)."""
+        x = self._splice(input_ids, video_embeds, video_start)
+        positions = jnp.broadcast_to(
+            jnp.arange(input_ids.shape[1])[None, :], input_ids.shape)
+        hidden, caches = self.llama(x, positions, kv_caches=kv_caches,
+                                    cache_offset=0)
+        logits = self.lm_head(hidden[:, -1:])
+        return hidden, logits, caches
+
+    def decode_step(self, token, pos, kv_caches):
+        """One greedy step. token: (B, 1) ids; pos: scalar position."""
+        x = self.embed_tokens(token)
+        positions = jnp.full(token.shape, pos, dtype=jnp.int32)
+        hidden, caches = self.llama(x, positions, kv_caches=kv_caches,
+                                    cache_offset=pos)
+        logits = self.lm_head(hidden)
+        return hidden, logits, caches
+
+    # ------------------------------------------------------------------
+    # grounding head
+    # ------------------------------------------------------------------
+
+    def ground(self, hidden, det_positions, image_embeddings):
+        """Hidden states + det positions -> per-frame boxes/objectness.
+
+        hidden: (B, L, D); det_positions: (B, P); image_embeddings
+        (B*T, HW, C). Output (B, T, P, 4) sigmoid-cxcywh and (B, T, P)
+        objectness logits. Mirrors `_process_hidden_states` +
+        `_generate_and_postprocess_masks` with the per-phrase gather done
+        BEFORE the projection MLP (pointwise => identical numerics, P<<L
+        cheaper).
+        """
+        cfg = self.cfg
+        b, _, _ = hidden.shape
+        p = det_positions.shape[1]
+        t = image_embeddings.shape[0] // b
+
+        gathered = jnp.take_along_axis(
+            hidden, det_positions[..., None].astype(jnp.int32), axis=1)
+        x = self.text_fc_0(gathered)
+        x = nn.relu(x)
+        pred_embeds = self.text_fc_2(x)                # (B, P, out_dim)
+
+        sparse, dense = self.prompt_encoder(
+            text_embeds=pred_embeds.reshape(b * p, 1, cfg.out_dim))
+        # (B, P, 1, C) -> tile over frames -> (B*T*P, 1, C)
+        sparse = sparse.reshape(b, 1, p, 1, -1)
+        sparse = jnp.broadcast_to(sparse, (b, t, p, 1, sparse.shape[-1]))
+        sparse = sparse.reshape(b * t * p, 1, -1)
+
+        inst2img = jnp.repeat(jnp.arange(b * t), p)
+        image_pe = self.dense_pe()
+        boxes, obj = self.box_decoder(image_embeddings, image_pe, sparse,
+                                      dense, inst2img)
+        boxes = boxes.reshape(b, t, p, 4)
+        if obj is not None:
+            obj = obj.reshape(b, t, p)
+        return boxes, obj
+
+    # ------------------------------------------------------------------
+    # end-to-end paths
+    # ------------------------------------------------------------------
+
+    def forward_train(self, batch: Dict[str, jax.Array]):
+        """Training forward -> loss dict (reference model_forward train path)."""
+        cfg = self.cfg
+        video_embeds, _ = self.encode_video(batch["frames_clip"])
+        image_embeddings = self.encode_grounding(batch["frames_sam"])
+        hidden, logits = self.lm_forward(
+            batch["input_ids"], video_embeds, batch["video_start"])
+        boxes, obj = self.ground(hidden, batch["det_positions"],
+                                 image_embeddings)
+        return loss_ops.grove_total_loss(
+            logits, batch["labels"], boxes, obj,
+            batch["gt_boxes"], batch["gt_objectness"], batch["phrase_mask"],
+            ce_weight=cfg.ce_loss_weight, giou_weight=cfg.giou_loss_weight,
+            objectness_weight=cfg.temp_objectness_loss_weight,
+            use_temp_objectness=cfg.use_temp_objectness,
+            ignore_index=cfg.tokens.ignore_index)
+
+    def forward_boxes(self, batch: Dict[str, jax.Array]):
+        """Teacher-forced inference path -> raw boxes + objectness logits
+        (reference model_forward(inference=True)); unnormalization and
+        objectness thresholding are host-side postprocessing."""
+        video_embeds, _ = self.encode_video(batch["frames_clip"])
+        image_embeddings = self.encode_grounding(batch["frames_sam"])
+        hidden, _ = self.lm_forward(
+            batch["input_ids"], video_embeds, batch["video_start"])
+        boxes, obj = self.ground(hidden, batch["det_positions"],
+                                 image_embeddings)
+        return {"pred_boxes": boxes, "objectness_logits": obj}
+
+
+def init_grove_params(cfg: GroveConfig, rng, dtype=jnp.bfloat16,
+                      batch: int = 1):
+    """Initialize a full parameter tree with dummy inputs."""
+    model = GroveModel(cfg, dtype=dtype)
+    t = cfg.num_frames
+    dummy = {
+        "frames_clip": jnp.zeros((batch, t, cfg.clip.image_size,
+                                  cfg.clip.image_size, 3), dtype),
+        "frames_sam": jnp.zeros((batch, t, cfg.sam_enc.img_size,
+                                 cfg.sam_enc.img_size, 3), dtype),
+        "input_ids": jnp.zeros((batch, cfg.num_video_tokens + 8), jnp.int32),
+        "video_start": jnp.zeros((batch,), jnp.int32),
+        "labels": jnp.full((batch, cfg.num_video_tokens + 8), -100,
+                           jnp.int32),
+        "det_positions": jnp.zeros((batch, cfg.max_phrases), jnp.int32),
+        "phrase_mask": jnp.zeros((batch, cfg.max_phrases), jnp.float32),
+        "gt_boxes": jnp.zeros((batch, t, cfg.max_phrases, 4), jnp.float32),
+        "gt_objectness": jnp.zeros((batch, t, cfg.max_phrases), jnp.float32),
+    }
+    # jit the init: on the axon TPU relay eager execution is pathologically
+    # slow, and jit also avoids materializing intermediate activations.
+    init_fn = jax.jit(
+        lambda r: model.init(r, dummy, method=GroveModel.forward_train))
+    variables = init_fn(rng)
+    return model, variables

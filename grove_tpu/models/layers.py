@@ -1,0 +1,128 @@
+"""Shared flax building blocks.
+
+Includes the video "SpatioTemporalConvAdapter" used by both vision towers
+(reference `modeling_clip.py:591-611` and `image_encoder.py:40-59`): a
+zero-init tanh-gated Conv3d residual over (b, t, h, w, c) token grids. At
+init alpha == 0 so the adapter is an exact identity — matching the
+reference's zero-init gating.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class RMSNorm(nn.Module):
+    """LLaMA RMSNorm; stats in fp32."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],),
+                       jnp.float32)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        out = xf * jax.lax.rsqrt(var + self.eps)
+        return (out * w).astype(dtype)
+
+
+class LayerNorm2d(nn.Module):
+    """Channel-wise LayerNorm over NHWC feature maps (reference
+    `model/SAM/modeling/common.py` LayerNorm2d, which normalizes channels)."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):  # (..., C)
+        dtype = x.dtype
+        c = x.shape[-1]
+        w = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        out = (xf - mu) / jnp.sqrt(var + self.eps)
+        return (out * w + b).astype(dtype)
+
+
+class MLP(nn.Module):
+    """relu-MLP stack (SAM `mask_decoder.py:232-254` MLP)."""
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+class MLPBlock(nn.Module):
+    """SAM MLPBlock: Dense -> act -> Dense (`common.py` MLPBlock)."""
+    mlp_dim: int
+    act: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+        x = self.act(x)
+        return nn.Dense(d, dtype=self.dtype, name="lin2")(x)
+
+
+class SpatioTemporalConvAdapter(nn.Module):
+    """Gated 3-D conv video adapter: x + tanh(alpha) * relu(conv3d(x)).
+
+    Input: (b, t, h, w, c) token grid (channels-last; the reference permutes
+    to b c t h w for torch Conv3d — numerics identical). alpha is zero-init
+    so the module starts as identity.
+    """
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (b, t, h, w, c)
+        c = x.shape[-1]
+        alpha = self.param("alpha", nn.initializers.zeros, (1,), jnp.float32)
+        y = nn.Conv(c, self.kernel, padding="SAME", dtype=self.dtype,
+                    name="conv3d")(x)
+        y = nn.relu(y)
+        return (jnp.tanh(alpha).astype(x.dtype) * y + x).astype(x.dtype)
+
+
+def adaptive_avg_pool_1d(x: jax.Array, out_size: int, axis: int) -> jax.Array:
+    """torch-compatible AdaptiveAvgPool along one axis.
+
+    torch semantics: output bin i averages input[floor(i*L/out) :
+    ceil((i+1)*L/out)]. Implemented as a (out, L) averaging matmul so it
+    stays MXU-friendly and differentiable.
+    """
+    length = x.shape[axis]
+    import numpy as np
+    starts = (np.arange(out_size) * length) // out_size
+    ends = -(-((np.arange(out_size) + 1) * length) // out_size)  # ceil
+    w = np.zeros((out_size, length), np.float32)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        w[i, s:e] = 1.0 / (e - s)
+    wj = jnp.asarray(w, x.dtype)
+    x_moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum("...l,ol->...o", x_moved, wj)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def adaptive_avg_pool_3d(x: jax.Array, out_thw: Tuple[int, int, int],
+                         axes: Tuple[int, int, int] = (1, 2, 3)) -> jax.Array:
+    """AdaptiveAvgPool3d((t,h,w)) over the given axes of x."""
+    for size, axis in zip(out_thw, axes):
+        x = adaptive_avg_pool_1d(x, size, axis)
+    return x

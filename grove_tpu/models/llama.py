@@ -1,0 +1,204 @@
+"""LLaMA-style decoder in flax with functional KV cache.
+
+Checkpoint-parity notes (HF `LlamaForCausalLM`, used by the reference via
+`model/llava/model/language_model/llava_llama.py:26-142`):
+  * RoPE uses the HF half-rotation convention (rotate_half with d/2 split);
+  * hidden states consumed downstream ([DET] gathering,
+    `model/GROVE.py:248-268`) are AFTER the final RMSNorm — both in training
+    (last element of the hidden-states tuple) and generation (per-step
+    last-layer tensor);
+  * the model consumes `inputs_embeds` directly: the multimodal video splice
+    happens outside (grove_tpu.models.grove).
+
+The KV cache is a plain pytree {"k", "v"} of (B, C, H, D) buffers passed in
+and returned, so greedy decode runs as a `lax` loop without flax mutable
+collections.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import LlamaConfig
+from ..ops.attention import multi_head_attention, xla_attention
+from .layers import RMSNorm
+
+
+def rope_angles(positions: jax.Array, head_dim: int,
+                theta: float) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for HF-convention RoPE. positions: (B, S) or (S,)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
+                                           dtype=jnp.float32) / head_dim))
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., S, D/2)
+    ang = jnp.concatenate([ang, ang], axis=-1)                  # (..., S, D)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, H, D); cos/sin: (B, S, D) or (S, D)."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin
+            ).astype(x.dtype)
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, positions, kv_cache=None, cache_offset=None,
+                 attn_mask=None):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        hd = cfg.head_dim
+        q = nn.Dense(cfg.num_heads * hd, use_bias=False, dtype=self.dtype,
+                     name="q_proj")(x).reshape(b, s, cfg.num_heads, hd)
+        k = nn.Dense(cfg.num_kv_heads * hd, use_bias=False, dtype=self.dtype,
+                     name="k_proj")(x).reshape(b, s, cfg.num_kv_heads, hd)
+        v = nn.Dense(cfg.num_kv_heads * hd, use_bias=False, dtype=self.dtype,
+                     name="v_proj")(x).reshape(b, s, cfg.num_kv_heads, hd)
+
+        cos, sin = rope_angles(positions, hd, cfg.rope_theta)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if kv_cache is None:
+            # pure self-attention (training / teacher-forced inference)
+            if cfg.num_kv_heads != cfg.num_heads:
+                reps = cfg.num_heads // cfg.num_kv_heads
+                k = jnp.repeat(k, reps, axis=2)
+                v = jnp.repeat(v, reps, axis=2)
+            out = multi_head_attention(q, k, v, causal=True, mask=attn_mask)
+        else:
+            # write into the cache at cache_offset, attend over the prefix
+            ck = jax.lax.dynamic_update_slice(
+                kv_cache["k"], k.astype(kv_cache["k"].dtype),
+                (0, cache_offset, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                kv_cache["v"], v.astype(kv_cache["v"].dtype),
+                (0, cache_offset, 0, 0))
+            new_cache = {"k": ck, "v": cv}
+            kk, vv = ck, cv
+            if cfg.num_kv_heads != cfg.num_heads:
+                reps = cfg.num_heads // cfg.num_kv_heads
+                kk = jnp.repeat(kk, reps, axis=2)
+                vv = jnp.repeat(vv, reps, axis=2)
+            cache_len = kk.shape[1]
+            kpos = jnp.arange(cache_len)[None, None, None, :]
+            qpos = cache_offset + jnp.arange(s)[None, None, :, None]
+            mask = kpos <= qpos  # causal over the cache
+            out = xla_attention(q, kk.astype(q.dtype), vv.astype(q.dtype),
+                                mask=mask)
+
+        out = out.reshape(b, s, cfg.num_heads * hd)
+        out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                       name="o_proj")(out)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
+                        dtype=self.dtype, name="gate_proj")(x)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False,
+                      dtype=self.dtype, name="up_proj")(x)
+        h = nn.silu(gate) * up
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="down_proj")(h)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, positions, kv_cache=None, cache_offset=None,
+                 attn_mask=None):
+        h = RMSNorm(eps=self.cfg.rms_norm_eps, name="input_layernorm")(x)
+        attn_out, new_cache = LlamaAttention(
+            self.cfg, dtype=self.dtype, name="self_attn")(
+                h, positions, kv_cache, cache_offset, attn_mask)
+        x = x + attn_out
+        h = RMSNorm(eps=self.cfg.rms_norm_eps,
+                    name="post_attention_layernorm")(x)
+        x = x + LlamaMLP(self.cfg, dtype=self.dtype, name="mlp")(h)
+        return x, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack over `inputs_embeds`; returns post-final-norm states."""
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, inputs_embeds, positions, kv_caches=None,
+                 cache_offset=None, attn_mask=None):
+        x = inputs_embeds.astype(self.dtype)
+        new_caches = [] if kv_caches is not None else None
+        block_cls = LlamaBlock
+        if self.remat and kv_caches is None:
+            block_cls = nn.remat(LlamaBlock, prevent_cse=False)
+        for i in range(self.cfg.num_layers):
+            cache_i = kv_caches[i] if kv_caches is not None else None
+            x, nc = block_cls(self.cfg, dtype=self.dtype,
+                              name=f"layers_{i}")(
+                x, positions, cache_i, cache_offset, attn_mask)
+            if new_caches is not None:
+                new_caches.append(nc)
+        x = RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)
+        return x, new_caches
+
+
+class LlamaEmbed(nn.Module):
+    """Token embedding table (kept separate so the video splice can inject
+    features between lookup and the decoder stack)."""
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids):
+        emb = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.cfg.padded_vocab_size, self.cfg.hidden_size), jnp.float32)
+        return emb[input_ids].astype(self.dtype)
+
+
+class LlamaLMHead(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden):
+        return nn.Dense(self.cfg.padded_vocab_size, use_bias=False,
+                        dtype=self.dtype, name="lm_head")(hidden)
+
+
+def init_kv_caches(cfg: LlamaConfig, batch: int, max_len: int,
+                   dtype=jnp.bfloat16):
+    """Allocate empty per-layer KV cache buffers."""
+    return [
+        {"k": jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim),
+                        dtype),
+         "v": jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim),
+                        dtype)}
+        for _ in range(cfg.num_layers)
+    ]

@@ -1,0 +1,189 @@
+"""Attention ops: XLA reference path + Pallas TPU flash attention.
+
+The reference's attention surface (flash-attn 2 CUDA for LLaMA
+(`train.py:208`), eager bmm for CLIP (`modeling_clip.py:232-334`), eager with
+decomposed rel-pos for SAM (`image_encoder.py:301-326`)) maps here to:
+
+* `multi_head_attention` — one entry point; `impl="xla"` lowers to plain
+  einsum+softmax (XLA fuses well, used for the short-sequence vision paths
+  and as the CPU fallback), `impl="pallas"` calls the fused flash kernel
+  (used for the LLaMA train/prefill path on TPU), `impl="auto"` picks.
+
+All shapes are (batch, seq, heads, head_dim). Softmax is computed in fp32
+regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def xla_attention(q, k, v, *, causal: bool = False,
+                  bias: Optional[jax.Array] = None,
+                  mask: Optional[jax.Array] = None,
+                  scale: Optional[float] = None) -> jax.Array:
+    """Reference attention. q: (B, Sq, H, D); k/v: (B, Sk, H, D).
+
+    bias: broadcastable to (B, H, Sq, Sk), added pre-softmax.
+    mask: broadcastable to (B, H, Sq, Sk) bool; False = masked out.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    dtype = q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        sq, sk = q.shape[1], k.shape[1]
+        qpos = jnp.arange(sq)[:, None] + (sk - sq)
+        kpos = jnp.arange(sk)[None, :]
+        logits = jnp.where(kpos <= qpos, logits, -jnp.inf)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (TPU)
+# ---------------------------------------------------------------------------
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, causal: bool, scale: float,
+                  block_k: int, kv_len: int):
+    """One (batch*head, q_block) program: online-softmax over kv blocks."""
+    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
+    block_q = q.shape[0]
+    qi = pl.program_id(1)
+    q_offset = qi * block_q
+
+    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
+
+    num_kv = pl.cdiv(kv_len, block_k)
+    if causal:
+        # last kv block that any query in this q block can see
+        num_kv = jnp.minimum(num_kv,
+                             pl.cdiv(q_offset + block_q, block_k))
+
+    def body(ki, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        if causal:
+            qpos = q_offset + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            kpos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(kpos <= qpos, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m - m_new)
+        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * correction + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
+                                             "block_k"))
+def flash_attention(q, k, v, *, causal: bool = False,
+                    scale: Optional[float] = None,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
+    """Fused flash attention. q/k/v: (B, S, H, D) -> (B, Sq, H, D).
+
+    Sequence lengths are padded up to block multiples internally; with
+    `causal=True` right-padding needs no extra masking (pad keys are in the
+    causal future of every real query).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+
+    block_q = min(block_q, max(sq, 16))
+    block_k = min(block_k, max(sk, 16))
+    pad_q = (-sq) % block_q
+    pad_k = (-sk) % block_k
+    # non-causal with padded kv needs masking; fall back to padding keys with
+    # -inf via explicit mask handled by padding v with zeros and k with a
+    # value that yields NEG_INF logits -- simplest correct choice: pad then
+    # mask inside kernel via kv_len.
+    if not causal and pad_k:
+        # Padded keys would need an extra in-kernel mask; the non-causal
+        # users (vision towers) have short block-aligned sequences, so any
+        # ragged case just takes the XLA path.
+        return xla_attention(q, k, v, causal=False, scale=scale)
+
+    qp = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+
+    # (B, S, H, D) -> (B*H, S, D)
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf, kf, vf = fold(qp), fold(kp), fold(vp)
+    sq_p, sk_p = qf.shape[1], kf.shape[1]
+
+    kernel = functools.partial(
+        _flash_kernel, causal=causal, scale=scale, block_k=block_k,
+        kv_len=sk)
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
+    return out[:, :sq]
+
+
+def multi_head_attention(q, k, v, *, causal: bool = False,
+                         bias: Optional[jax.Array] = None,
+                         mask: Optional[jax.Array] = None,
+                         scale: Optional[float] = None,
+                         impl: str = "auto") -> jax.Array:
+    """Dispatching attention entry point. Shapes (B, S, H, D)."""
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        simple = bias is None and mask is None
+        big = q.shape[1] >= 128 and q.shape[-1] % 128 == 0
+        impl = "pallas" if (on_tpu and simple and big) else "xla"
+    if impl == "pallas":
+        return flash_attention(q, k, v, causal=causal, scale=scale)
+    return xla_attention(q, k, v, causal=causal, bias=bias, mask=mask,
+                         scale=scale)

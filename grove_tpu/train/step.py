@@ -1,0 +1,113 @@
+"""Training step: optimizer, freeze policy, jitted sharded update.
+
+Optimizer recipe matches the reference DeepSpeed config (`train.py:466-487`):
+AdamW lr 5e-5(3e-4 pretrain) betas (0.9, 0.95), WarmupDecayLR (linear warmup
+`warmup_num_steps`, linear decay to 0 at `total_num_steps`), grad clip 1.0,
+bf16 compute. ZeRO-2's sharded optimizer state maps to sharding the optax
+state over the data axis (`parallel.sharding.zero_sharding`).
+
+The freeze policy reproduces `prepare_model_for_training`
+(`train.py:234-334`): everything frozen except both encoders' adapters, the
+box/objectness heads (+ optionally the whole mask decoder), text_hidden_fcs,
+mm_projector, lm_head and embed_tokens. LLM LoRA is planned separately; the
+`full_llm` flag instead unfreezes the whole LLaMA (superset capability).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.grove import GroveModel
+from ..parallel.sharding import path_str
+
+TRAINABLE_PATTERNS_FINETUNE = (
+    r"adapters_\d+",            # both towers' video adapters
+    r"mask_decoder/bbox_head",
+    r"mask_decoder/temporal_objectness_head",
+    r"text_hidden_fcs",
+    r"mm_projector",
+    r"lm_head",
+    r"embed_tokens",
+)
+
+
+@dataclasses.dataclass
+class OptimizerConfig:
+    lr: float = 5e-5
+    betas: Tuple[float, float] = (0.9, 0.95)
+    weight_decay: float = 0.0
+    warmup_steps: int = 100
+    total_steps: int = 7000
+    grad_clip: float = 1.0
+    train_mask_decoder: bool = True
+    full_llm: bool = False
+    freeze: bool = True
+
+
+def warmup_decay_schedule(cfg: OptimizerConfig):
+    """DeepSpeed WarmupDecayLR: linear warmup then linear decay to 0."""
+    return optax.join_schedules([
+        optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps),
+        optax.linear_schedule(cfg.lr, 0.0,
+                              max(cfg.total_steps - cfg.warmup_steps, 1)),
+    ], [cfg.warmup_steps])
+
+
+def trainable_mask(params, cfg: OptimizerConfig):
+    pats = list(TRAINABLE_PATTERNS_FINETUNE)
+    if cfg.train_mask_decoder:
+        pats.append(r"mask_decoder")
+    if cfg.full_llm:
+        pats.append(r"llama")
+    regex = re.compile("|".join(pats))
+
+    def f(path, v):
+        if not cfg.freeze:
+            return True
+        return bool(regex.search(path_str(path)))
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def make_optimizer(params, cfg: OptimizerConfig):
+    sched = warmup_decay_schedule(cfg)
+    opt = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
+                    weight_decay=cfg.weight_decay),
+    )
+    mask = trainable_mask(params, cfg)
+    return optax.multi_transform(
+        {"train": opt, "freeze": optax.set_to_zero()},
+        jax.tree.map(lambda t: "train" if t else "freeze", mask))
+
+
+def make_train_step(model: GroveModel, optimizer):
+    """Returns train_step(params, opt_state, batch) -> (params, opt_state,
+    metrics). Jit + shardings applied by the caller."""
+
+    def loss_fn(params, batch):
+        out = model.apply({"params": params}, batch,
+                          method=GroveModel.forward_train)
+        return out["loss"], out
+
+    def train_step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: GroveModel):
+    def eval_step(params, batch):
+        return model.apply({"params": params}, batch,
+                           method=GroveModel.forward_train)
+    return eval_step

@@ -1,0 +1,75 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from grove_tpu.ops.attention import (flash_attention, multi_head_attention,
+                                     xla_attention)
+
+
+def _rand_qkv(rng, b, s, h, d, sk=None):
+    sk = sk or s
+    q = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, sk, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, sk, h, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_xla_attention_matches_manual(rng):
+    q, k, v = _rand_qkv(rng, 2, 5, 3, 4)
+    out = np.asarray(xla_attention(q, k, v))
+    # manual per-head softmax attention
+    qn, kn, vn = map(np.asarray, (q, k, v))
+    for b in range(2):
+        for h in range(3):
+            logits = qn[b, :, h] @ kn[b, :, h].T / np.sqrt(4)
+            p = np.exp(logits - logits.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            np.testing.assert_allclose(out[b, :, h], p @ vn[b, :, h],
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_xla_attention_causal_masks_future(rng):
+    q, k, v = _rand_qkv(rng, 1, 6, 2, 4)
+    out = xla_attention(q, k, v, causal=True)
+    # first position only sees itself -> equals v normalized weight 1
+    np.testing.assert_allclose(np.asarray(out)[0, 0], np.asarray(v)[0, 0],
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("s,block", [(64, 16), (96, 32)])
+def test_flash_matches_xla(rng, causal, s, block):
+    q, k, v = _rand_qkv(rng, 2, s, 2, 8)
+    want = np.asarray(xla_attention(q, k, v, causal=causal))
+    got = np.asarray(flash_attention(q, k, v, causal=causal,
+                                     block_q=block, block_k=block))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_causal_ragged_q(rng):
+    # sq not a multiple of block_q exercises q padding
+    q, k, v = _rand_qkv(rng, 1, 50, 2, 8)
+    want = np.asarray(xla_attention(q, k, v, causal=True))
+    got = np.asarray(flash_attention(q, k, v, causal=True,
+                                     block_q=16, block_k=16))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_cross_attention_longer_kv(rng):
+    q, k, v = _rand_qkv(rng, 1, 32, 2, 8, sk=64)
+    want = np.asarray(xla_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=16, block_k=16))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_mha_bias_and_mask(rng):
+    q, k, v = _rand_qkv(rng, 1, 4, 2, 4)
+    bias = jnp.asarray(rng.normal(size=(1, 2, 4, 4)).astype(np.float32))
+    mask = jnp.ones((1, 1, 4, 4), bool).at[:, :, :, -1].set(False)
+    out = multi_head_attention(q, k, v, bias=bias, mask=mask)
+    assert out.shape == q.shape
+    # masked key contributes nothing: perturbing v[-1] leaves output unchanged
+    v2 = v.at[:, -1].add(100.0)
+    out2 = multi_head_attention(q, k, v2, bias=bias, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-5)

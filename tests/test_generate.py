@@ -1,0 +1,82 @@
+"""Greedy decode consistency: scan-based KV decode == full forward argmax."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from grove_tpu.config import GroveConfig
+from grove_tpu.infer.generate import generate_grounded, greedy_decode
+from grove_tpu.models.grove import GroveModel, init_grove_params
+from grove_tpu.text.mock_tokenizer import MockTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = GroveConfig.tiny()
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(1),
+                                         dtype=jnp.float32, batch=1)
+    return cfg, model, variables
+
+
+def _prompt(cfg, rng, b=1):
+    nv = cfg.num_video_tokens
+    ls = nv + 6
+    ids = rng.integers(3, 100, size=(b, ls)).astype(np.int32)
+    ids[:, 0] = cfg.tokens.bos
+    ids[:, 2:2 + nv] = 0
+    video_start = np.full((b,), 2, np.int32)
+    feats = rng.normal(size=(b, nv, cfg.llama.hidden_size)).astype(np.float32)
+    return ids, video_start, feats
+
+
+def test_greedy_matches_teacher_forced(setup, rng):
+    cfg, model, variables = setup
+    ids, vs, feats = _prompt(cfg, rng)
+    max_new = 6
+    gen_ids, hidden = greedy_decode(
+        model, variables, jnp.asarray(ids), jnp.asarray(feats),
+        jnp.asarray(vs), max_new_tokens=max_new, eos_id=cfg.tokens.eos,
+        cache_dtype=jnp.float32)
+    gen = np.asarray(gen_ids)
+
+    # teacher-force: run the full sequence through lm_forward; argmax at each
+    # generated position must reproduce the next generated token
+    full = np.concatenate([ids, gen], axis=1)
+    feats_pad = jnp.asarray(feats)
+    hidden_tf, logits_tf = model.apply(
+        variables, jnp.asarray(full), feats_pad, jnp.asarray(vs),
+        method=GroveModel.lm_forward)
+    logits_np = np.asarray(logits_tf)
+    ls = ids.shape[1]
+    stop = False
+    for s in range(max_new):
+        if stop:
+            break
+        pred = int(np.argmax(logits_np[0, ls - 1 + s]))
+        assert pred == int(gen[0, s]), f"step {s}"
+        if pred == cfg.tokens.eos:
+            stop = True
+    # hidden buffer matches the teacher-forced hidden states
+    np.testing.assert_allclose(np.asarray(hidden)[0, :ls + 1],
+                               np.asarray(hidden_tf)[0, :ls + 1],
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_generate_grounded_outputs(setup, rng):
+    cfg, model, variables = setup
+    tok = MockTokenizer()
+    ids, vs, _ = _prompt(cfg, rng)
+    t = cfg.num_frames
+    frames_clip = jnp.asarray(rng.normal(size=(1, t, cfg.clip.image_size,
+                                               cfg.clip.image_size, 3)),
+                              jnp.float32)
+    frames_sam = jnp.asarray(rng.normal(size=(1, t, cfg.sam_enc.img_size,
+                                              cfg.sam_enc.img_size, 3)),
+                             jnp.float32)
+    out = generate_grounded(model, variables, cfg, tok, ids, vs,
+                            frames_clip, frames_sam, max_new_tokens=5)
+    assert out["generated_ids"].shape == (1, 5)
+    assert out["pred_boxes"].shape == (1, t, cfg.max_phrases, 4)
+    assert out["objectness_logits"].shape == (1, t, cfg.max_phrases)
+    assert isinstance(out["parsed"][0]["text"], str)
