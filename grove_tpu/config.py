@@ -277,7 +277,7 @@ class GroveConfig:
             num_frames=clip.num_frames,
             pool_t=clip.num_frames, pool_h=2, pool_w=2,
             max_phrases=4,
-            max_seq_len=64,
+            max_seq_len=160,
             out_dim=16,
         )
 
