@@ -1,0 +1,69 @@
+"""Public inference API: one call, video in -> grounded caption out.
+
+grove_tpu equivalent of the reference `grove_transformers.GroveProcessor`
+(`processing_grove.py:263-432`): decodes the clip (native libav decoder at
+5 fps), preprocesses for both towers, and runs the sliding-window pipeline,
+returning the exact output dict of the reference:
+
+  {text, text_tagged, phrases, center_frame_indices, frame_indices, bboxes,
+   labels_per_frame, probs_temp_objectness, original_size}
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import GroveConfig
+from ..data.preprocess import preprocess_frames
+from ..data.video import VideoDecoder
+from ..infer.sliding import infer_clip
+from ..text.prompts import VIDEO_GROUNDING_QUESTIONS
+
+DEFAULT_INSTRUCTION = VIDEO_GROUNDING_QUESTIONS[0]
+
+
+class GroveProcessor:
+    def __init__(self, tokenizer, cfg: GroveConfig, fps: float = 5.0,
+                 decoder_factory=VideoDecoder):
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.fps = fps
+        self.decoder_factory = decoder_factory
+
+    def decode_video(self, video_path: str,
+                     start_frame: Optional[int] = None,
+                     end_frame: Optional[int] = None,
+                     video_fps: Optional[float] = None,
+                     max_frames: int = 1024) -> np.ndarray:
+        """All frames at self.fps (reference decodes the full clip at 5 fps,
+        `processing_grove.py:195-261`); optional frame-range crop."""
+        with self.decoder_factory(video_path) as dec:
+            src_fps = video_fps or dec.fps or self.fps
+            if start_frame is not None and end_frame is not None:
+                rate = max(int(src_fps / self.fps), 1)
+                ts = [i / src_fps
+                      for i in range(start_frame, end_frame + 1, rate)]
+                return dec.decode_at(ts)
+            return dec.decode_fps(self.fps, max_frames=max_frames)
+
+    def generate(self, model, variables, video_path: str,
+                 instruction: Optional[str] = None,
+                 max_new_tokens: int = 64,
+                 temp_objectness_threshold: Optional[float] = None,
+                 start_frame: Optional[int] = None,
+                 end_frame: Optional[int] = None,
+                 video_fps: Optional[float] = None) -> Dict:
+        frames = self.decode_video(video_path, start_frame, end_frame,
+                                   video_fps)
+        if frames.size == 0:
+            raise ValueError(f"No frames decoded from {video_path}")
+        original_size = (frames.shape[2], frames.shape[1])  # (W, H)
+        frames_clip, frames_sam = preprocess_frames(
+            frames, self.cfg.clip.image_size, self.cfg.sam_enc.img_size)
+        return infer_clip(
+            model, variables, self.cfg, self.tokenizer, frames_clip,
+            frames_sam, original_size, instruction=instruction,
+            max_new_tokens=max_new_tokens,
+            threshold=temp_objectness_threshold)

@@ -1,0 +1,154 @@
+"""Caption metrics in pure python: BLEU-1..4, ROUGE-L, CIDEr-D.
+
+This environment has no pycocoevalcap/Java, so the metrics the reference
+computes via pycocoevalcap (`eval_iground.py:461-468`) are re-implemented
+from their definitions:
+  * BLEU: corpus-level, uniform n-gram weights, closest-ref brevity penalty
+    (pycocoevalcap's Bleu scorer semantics);
+  * ROUGE-L: LCS F-score with beta = 1.2, max over refs, mean over corpus;
+  * CIDEr-D: n = 1..4 TF-IDF cosine with length gaussian (sigma = 6) and
+    count clipping, x10 scale.
+
+METEOR/SPICE require external assets (synonym DBs / Java parsers); they are
+intentionally not faked — callers get an explicit None.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence
+
+
+def _tokens(s: str) -> List[str]:
+    return s.lower().split()
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+def bleu(gts: Dict[str, List[str]], res: Dict[str, str],
+         max_n: int = 4) -> List[float]:
+    """Corpus BLEU-1..max_n. gts: id -> list of refs; res: id -> hypothesis."""
+    clipped = [0.0] * max_n
+    totals = [0.0] * max_n
+    hyp_len = 0
+    ref_len = 0
+    for key, hyp in res.items():
+        h = _tokens(hyp)
+        refs = [_tokens(r) for r in gts[key]]
+        hyp_len += len(h)
+        # closest reference length
+        ref_len += min((abs(len(r) - len(h)), len(r)) for r in refs)[1]
+        for n in range(1, max_n + 1):
+            hng = _ngrams(h, n)
+            max_ref = Counter()
+            for r in refs:
+                rng = _ngrams(r, n)
+                for g, c in rng.items():
+                    max_ref[g] = max(max_ref[g], c)
+            totals[n - 1] += max(len(h) - n + 1, 0)
+            clipped[n - 1] += sum(min(c, max_ref[g])
+                                  for g, c in hng.items())
+    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len /
+                                                max(hyp_len, 1))
+    scores = []
+    log_sum = 0.0
+    for n in range(1, max_n + 1):
+        p = clipped[n - 1] / totals[n - 1] if totals[n - 1] > 0 else 0.0
+        log_sum += math.log(max(p, 1e-12))
+        scores.append(bp * math.exp(log_sum / n))
+    return scores
+
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    dp = [0] * (len(b) + 1)
+    for x in a:
+        prev = 0
+        for j, y in enumerate(b, 1):
+            cur = dp[j]
+            dp[j] = prev + 1 if x == y else max(dp[j], dp[j - 1])
+            prev = cur
+    return dp[len(b)]
+
+
+def rouge_l(gts: Dict[str, List[str]], res: Dict[str, str],
+            beta: float = 1.2) -> float:
+    scores = []
+    for key, hyp in res.items():
+        h = _tokens(hyp)
+        best = 0.0
+        for ref in gts[key]:
+            r = _tokens(ref)
+            lcs = _lcs_len(h, r)
+            if lcs == 0:
+                continue
+            prec = lcs / len(h) if h else 0.0
+            rec = lcs / len(r) if r else 0.0
+            f = ((1 + beta ** 2) * prec * rec
+                 / (rec + beta ** 2 * prec)) if prec + rec > 0 else 0.0
+            best = max(best, f)
+        scores.append(best)
+    return sum(scores) / len(scores) if scores else 0.0
+
+
+def cider_d(gts: Dict[str, List[str]], res: Dict[str, str],
+            max_n: int = 4, sigma: float = 6.0) -> float:
+    """CIDEr-D (Vedantam et al. 2015), the pycocoevalcap variant."""
+    # document frequencies over reference sets
+    doc_freq = [defaultdict(int) for _ in range(max_n)]
+    for key in gts:
+        for n in range(max_n):
+            seen = set()
+            for ref in gts[key]:
+                seen |= set(_ngrams(_tokens(ref), n + 1).keys())
+            for g in seen:
+                doc_freq[n][g] += 1
+    num_docs = max(len(gts), 1)
+
+    def tfidf_vec(tokens, n):
+        cnt = _ngrams(tokens, n + 1)
+        vec = {}
+        norm = 0.0
+        for g, c in cnt.items():
+            df = math.log(max(doc_freq[n][g], 1.0))
+            idf = math.log(num_docs) - df
+            v = c * idf
+            vec[g] = v
+            norm += v * v
+        return vec, math.sqrt(norm), sum(cnt.values())
+
+    scores = []
+    for key, hyp in res.items():
+        h = _tokens(hyp)
+        score_n = [0.0] * max_n
+        for ref in gts[key]:
+            r = _tokens(ref)
+            for n in range(max_n):
+                hv, hn, hl = tfidf_vec(h, n)
+                rv, rn, rl = tfidf_vec(r, n)
+                # clipped dot product
+                dot = sum(min(hv[g], rv.get(g, 0.0)) * rv.get(g, 0.0)
+                          for g in hv)
+                if hn > 0 and rn > 0:
+                    val = dot / (hn * rn)
+                else:
+                    val = 0.0
+                delta = len(h) - len(r)
+                val *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
+                score_n[n] += val
+        nref = len(gts[key])
+        scores.append(10.0 * sum(s / nref for s in score_n) / max_n)
+    return sum(scores) / len(scores) if scores else 0.0
+
+
+def caption_metrics(gts: Dict[str, List[str]], res: Dict[str, str]) -> Dict:
+    b = bleu(gts, res)
+    return {
+        "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
+        "ROUGE_L": rouge_l(gts, res),
+        "CIDEr": cider_d(gts, res),
+        "METEOR": None,   # needs external synonym assets; not faked
+        "SPICE": None,    # needs Java CoreNLP; not faked
+    }

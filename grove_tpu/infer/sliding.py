@@ -1,0 +1,185 @@
+"""Full-clip sliding-window inference: caption once, boxes for every frame.
+
+Rebuild of the reference inference core (`infer_iground.py:150-295`,
+`processing_grove.py:305-432`):
+  1. cover all frames with interleaved 8-frame windows + first-seen masks;
+  2. generate the caption from the CENTER window (greedy KV decode);
+  3. for every other window, run a teacher-forced pass with the generated
+     caption as the answer to get that window's boxes;
+  4. unnormalize boxes, threshold objectness into per-frame label lists,
+     reorder everything by true frame index.
+
+TPU delta vs the reference: all non-center windows run in ONE batched
+`forward_boxes` call (batch = n_windows) instead of a python loop — the
+text is identical across windows so the LM prefix batches trivially.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GroveConfig
+from ..data.sampling import center_window_index, sliding_segment_with_mask
+from ..models.grove import GroveModel
+from ..text import tagging
+from ..text.packing import pack_text
+from ..text.prompts import grounding_prompt, tokenize_with_video
+from .generate import generate_grounded
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def postprocess_window(boxes: np.ndarray, obj_logits: Optional[np.ndarray],
+                       phrases: List[str], num_dets: int,
+                       original_size, threshold: float):
+    """(T, P, 4) cxcywh01 + (T, P) logits -> per-frame filtered outputs.
+
+    Mirrors `model/GROVE.py:305-319`: unnormalize cxcywh by (w, h), convert
+    to xyxy, keep boxes whose objectness prob > threshold; labels are the
+    phrases of the kept indices (guarded by i < len(phrases),
+    `infer_iground.py:214`).
+    """
+    w, h = original_size
+    t = boxes.shape[0]
+    out_boxes, out_labels, out_probs = [], [], []
+    for ti in range(t):
+        b = boxes[ti, :num_dets].astype(np.float32)
+        unnorm = b * np.array([w, h, w, h], np.float32)
+        cx, cy, bw, bh = unnorm.T
+        xyxy = np.stack([cx - bw / 2, cy - bh / 2,
+                         cx + bw / 2, cy + bh / 2], axis=1)
+        if obj_logits is not None:
+            probs = _sigmoid(obj_logits[ti, :num_dets].astype(np.float32))
+            keep = probs > threshold
+            out_boxes.append(xyxy[keep])
+            out_labels.append([phrases[i] for i in range(num_dets)
+                               if keep[i] and i < len(phrases)])
+            out_probs.append(probs)
+        else:
+            out_boxes.append(xyxy)
+            out_labels.append([])
+            out_probs.append(np.zeros((num_dets,), np.float32))
+    return out_boxes, out_labels, out_probs
+
+
+def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
+               frames_clip_all: np.ndarray, frames_sam_all: np.ndarray,
+               original_size, *, instruction: Optional[str] = None,
+               max_new_tokens: int = 64,
+               threshold: Optional[float] = None) -> Dict:
+    """frames_*_all: (T_total, H, W, 3) preprocessed full-clip frames."""
+    threshold = (threshold if threshold is not None
+                 else cfg.temp_objectness_threshold)
+    t_total = frames_clip_all.shape[0]
+    nf = cfg.num_frames
+    windows, masks = sliding_segment_with_mask(t_total, nf)
+    ci = center_window_index(masks)
+    center = windows[ci]
+
+    # ---- center window: generate ----
+    prompt = grounding_prompt(question=instruction)
+    prompt_ids = tokenize_with_video(prompt, tokenizer)
+    packed = pack_text(prompt_ids, None, tokenizer,
+                       num_video_tokens=cfg.num_video_tokens,
+                       max_spliced_len=len(prompt_ids) - 1
+                       + cfg.num_video_tokens,
+                       det_token_id=cfg.tokens.det,
+                       max_phrases=cfg.max_phrases,
+                       pad_id=tokenizer.pad_token_id, with_labels=False)
+
+    fc = jnp.asarray(frames_clip_all[center][None])
+    fs = jnp.asarray(frames_sam_all[center][None])
+    gen = generate_grounded(model, variables, cfg, tokenizer,
+                            packed.input_ids[None],
+                            np.asarray([packed.video_start]),
+                            fc, fs, max_new_tokens=max_new_tokens)
+
+    gen_ids = [int(t) for t in gen["generated_ids"][0]
+               if t != cfg.tokens.pad]
+    raw_text = tokenizer.decode(gen_ids, skip_special_tokens=False)
+    text_output = raw_text.replace("\n", "").replace("  ", " ")
+    if "ASSISTANT: " in text_output:
+        text_output = text_output.split("ASSISTANT: ")[-1]
+    parsed = tagging.parse_generation(text_output)
+    phrases = parsed["phrases"]
+    num_dets = int(gen["phrase_mask"][0].sum())
+
+    all_bboxes, all_labels, all_probs = postprocess_window(
+        gen["pred_boxes"][0], (gen["objectness_logits"][0]
+                               if gen["objectness_logits"] is not None
+                               else None),
+        phrases, num_dets, original_size, threshold)
+    seen_order = list(center)
+
+    # ---- other windows: one batched teacher-forced pass ----
+    other = [(j, w, m) for j, (w, m) in enumerate(zip(windows, masks))
+             if j != ci and any(m)]
+    if other and num_dets == 0:
+        # no [DET] emitted (the reference would crash on an empty embed cat,
+        # `model/GROVE.py:273`); emit empty outputs so every frame is covered
+        for j, w, m in other:
+            for k, idx in enumerate(w):
+                if m[k]:
+                    all_bboxes.append(np.zeros((0, 4), np.float32))
+                    all_labels.append([])
+                    all_probs.append(np.zeros((0,), np.float32))
+                    seen_order.append(idx)
+    elif other and num_dets > 0:
+        answer_prompt = grounding_prompt(question=instruction,
+                                         answer=text_output)
+        ans_ids = tokenize_with_video(answer_prompt, tokenizer)
+        ap = pack_text(ans_ids, None, tokenizer,
+                       num_video_tokens=cfg.num_video_tokens,
+                       max_spliced_len=len(ans_ids) - 1
+                       + cfg.num_video_tokens,
+                       det_token_id=cfg.tokens.det,
+                       max_phrases=cfg.max_phrases,
+                       pad_id=tokenizer.pad_token_id, with_labels=False)
+        nw = len(other)
+        batch = {
+            "frames_clip": jnp.asarray(np.stack(
+                [frames_clip_all[w] for _, w, _ in other])),
+            "frames_sam": jnp.asarray(np.stack(
+                [frames_sam_all[w] for _, w, _ in other])),
+            "input_ids": jnp.asarray(np.tile(ap.input_ids[None], (nw, 1))),
+            "video_start": jnp.full((nw,), int(ap.video_start), jnp.int32),
+            "det_positions": jnp.asarray(
+                np.tile(ap.det_positions[None], (nw, 1))),
+            "phrase_mask": jnp.asarray(
+                np.tile(ap.phrase_mask[None], (nw, 1)).astype(np.float32)),
+        }
+        out = model.apply(variables, batch, method=GroveModel.forward_boxes)
+        pb = np.asarray(out["pred_boxes"], np.float32)
+        ob = (np.asarray(out["objectness_logits"], np.float32)
+              if out["objectness_logits"] is not None else None)
+        n_dets_tf = int(ap.phrase_mask.sum())
+        for wi, (j, w, m) in enumerate(other):
+            wb, wl, wp = postprocess_window(
+                pb[wi], ob[wi] if ob is not None else None, phrases,
+                n_dets_tf, original_size, threshold)
+            for k, idx in enumerate(w):
+                if m[k]:
+                    all_bboxes.append(wb[k])
+                    all_labels.append(wl[k])
+                    all_probs.append(wp[k])
+                    seen_order.append(idx)
+
+    order = sorted(range(len(seen_order)), key=lambda k: seen_order[k])
+    return {
+        "text": parsed["text"],
+        "text_tagged": parsed["text_tagged"],
+        "phrases": phrases,
+        "center_frame_indices": list(center),
+        "frame_indices": [seen_order[i] for i in order],
+        "bboxes": [all_bboxes[i] for i in order],
+        "labels_per_frame": [all_labels[i] for i in order],
+        "probs_temp_objectness": [all_probs[i] for i in order],
+        "original_size": tuple(original_size),
+    }

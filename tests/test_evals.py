@@ -1,0 +1,110 @@
+import numpy as np
+import pytest
+
+from grove_tpu.evals.captions import bleu, caption_metrics, cider_d, rouge_l
+from grove_tpu.evals.iground import (box_average_precision, compute_iou,
+                                     find_best_matches, grounding_recall,
+                                     mean_iou, token_tf_cosine)
+from grove_tpu.evals.pointing import pointing_accuracy
+from grove_tpu.evals.vidstg import evaluate_vidstg, np_box_iou
+
+
+def test_compute_iou_plus_one_convention():
+    # identical 10x10 box (0..9 inclusive)
+    a = [0, 0, 9, 9]
+    assert compute_iou(a, a) == 1.0
+    # half overlap with +1 convention
+    b = [5, 0, 14, 9]
+    iou = compute_iou(a, b)
+    assert abs(iou - (50 / 150)) < 1e-9
+
+
+def test_mean_iou_perfect():
+    gts = {"v": [{"bboxes": [[0, 0, 10, 10]], "labels": ["a"]}]}
+    preds = {"v": [{"bboxes": [[0, 0, 10, 10]], "labels": ["a"]}]}
+    assert mean_iou(preds, gts) == 1.0
+    assert mean_iou(preds, gts, mode="video") == 1.0
+
+
+def test_grounding_recall_matching():
+    gts = {"v": [{"bboxes": [[0, 0, 10, 10], [20, 20, 30, 30]],
+                  "labels": ["a red cup", "the dog"]}]}
+    preds = {"v": [{"bboxes": [[0, 0, 10, 10], [20, 20, 30, 30]],
+                    "labels": ["red cup", "a cat"]}]}
+    # first matches (IoU 1.0, sim > 0.5); second fails text sim
+    r = grounding_recall(preds, gts)
+    assert r == 0.5
+
+
+def test_box_ap_perfect_and_miss():
+    gts = {"v": [{"bboxes": [[0, 0, 10, 10]], "labels": ["x"]}]}
+    preds = {"v": [{"bboxes": [[0, 0, 10, 10]], "labels": ["x"],
+                    "scores": [0.9]}]}
+    ap = box_average_precision(preds, gts)
+    assert ap["AP50"] > 0.99
+    assert ap["AP"] > 0.99
+    preds_bad = {"v": [{"bboxes": [[50, 50, 60, 60]], "labels": ["x"],
+                        "scores": [0.9]}]}
+    ap = box_average_precision(preds_bad, gts)
+    assert ap["AP"] == 0.0
+
+
+def test_bleu_identity():
+    gts = {"1": ["a cat sits on the mat"]}
+    res = {"1": "a cat sits on the mat"}
+    scores = bleu(gts, res)
+    for s in scores:
+        assert abs(s - 1.0) < 1e-9
+
+
+def test_bleu_partial():
+    gts = {"1": ["the cat is on the mat"]}
+    res = {"1": "the cat on the mat"}
+    scores = bleu(gts, res)
+    assert 0 < scores[3] < 1.0
+    assert scores[0] > scores[3]
+
+
+def test_rouge_l():
+    gts = {"1": ["a b c d e"]}
+    assert rouge_l(gts, {"1": "a b c d e"}) == 1.0
+    partial = rouge_l(gts, {"1": "a c e"})
+    assert 0 < partial < 1.0
+
+
+def test_cider_identity_beats_mismatch():
+    gts = {"1": ["a red block moves past the table"],
+           "2": ["the green ball bounces"],
+           "3": ["someone slices an onion"]}
+    res_good = {k: v[0] for k, v in gts.items()}
+    res_bad = {k: "completely unrelated words here" for k in gts}
+    assert cider_d(gts, res_good) > cider_d(gts, res_bad)
+
+
+def test_caption_metrics_bundle():
+    gts = {"1": ["a cat sits quietly on the mat"]}
+    out = caption_metrics(gts, {"1": "a cat sits quietly on the mat"})
+    assert out["Bleu_4"] > 0.99
+    assert out["METEOR"] is None  # explicitly unavailable, not faked
+
+
+def test_vidstg_viou():
+    gt = {"v1": {"frame_ids": [0, 1], "boxes": [[0, 0, 10, 10],
+                                                [0, 0, 10, 10]]}}
+    pred = {"v1": {"frame_ids": [0, 1],
+                   "boxes": [np.array([[0, 0, 10, 10]]),
+                             np.array([[0, 0, 5, 10]])],
+                   "qtype": "declarative"}}
+    out = evaluate_vidstg(pred, gt)
+    assert abs(out["declarative_gt_viou"] - 0.75) < 1e-6
+    assert out["declarative_gt_viou@0.5"] == 1.0
+
+
+def test_pointing_accuracy():
+    gt = [{"video_id": "v", "segment_idx": 0,
+           "segment_bboxes": [(0, 0, 10, 10), (20, 20, 30, 30), None]}]
+    preds = {"v_0": {"final_boxes": [np.array([[2, 2, 6, 6]]),
+                                     np.array([[0, 0, 5, 5]]), None]}}
+    acc, correct, valid = pointing_accuracy(preds, gt)
+    assert valid == 2 and correct == 1
+    assert abs(acc - 50.0) < 1e-9
