@@ -185,6 +185,42 @@ def _rules(cfg: GroveConfig) -> List[Tuple[str, str, object]]:
          "grounding_encoder/neck_conv2/kernel", _conv2d),
         (r"^model\.grounding_encoder\.image_encoder\.neck\.3\.(weight|bias)$",
          lambda m: "grounding_encoder/neck_ln2/" + m.group(1), _ident),
+        # ---- region encoder (dormant in video flows, ships in ckpts) ----
+        (r"^model\.region_encoder\.mlvl_fuse\.input_conv\.(\d+)\.weight$",
+         r"region_encoder/mlvl_fuse/input_conv_\1/kernel", _conv2d),
+        (r"^model\.region_encoder\.mlvl_fuse\.input_conv\.(\d+)\.bias$",
+         r"region_encoder/mlvl_fuse/input_conv_\1/bias", _ident),
+        (r"^model\.region_encoder\.mlvl_fuse\.fuse_convs\.(\d+)\.conv\."
+         r"weight$", r"region_encoder/mlvl_fuse/fuse_conv_\1/kernel",
+         _conv2d),
+        (r"^model\.region_encoder\.mlvl_fuse\.fuse_convs\.(\d+)\.gn\."
+         r"(weight|bias)$",
+         lambda m: (f"region_encoder/mlvl_fuse/fuse_gn_{m.group(1)}/"
+                    + ("scale" if m.group(2) == "weight" else "bias")),
+         _ident),
+        (r"^model\.region_encoder\.roi_align\.pconvs\.(\d+)\.weight$",
+         r"region_encoder/roi_align/pconvs_\1/kernel", _conv2d),
+        (r"^model\.region_encoder\.roi_align\.pconvs\.(\d+)\.bias$",
+         r"region_encoder/roi_align/pconvs_\1/bias", _ident),
+        (r"^model\.region_encoder\.roi_align\.pos_embedd\.([03])\."
+         r"(weight|bias)$",
+         lambda m: (f"region_encoder/roi_align/pos_embedd_{m.group(1)}/"
+                    + ("kernel" if m.group(2) == "weight" else "bias")),
+         _GENERIC),
+        (r"^model\.region_encoder\.roi_align\.pos_embedd\.([25])\."
+         r"(weight|bias)$",
+         lambda m: (f"region_encoder/roi_align/pos_embedd_{m.group(1)}/"
+                    + ("scale" if m.group(2) == "weight" else "bias")),
+         _ident),
+        (r"^model\.region_encoder\.roi_align\.flatten_linear\."
+         r"(weight|bias)$",
+         lambda m: ("region_encoder/roi_align/flatten_linear/"
+                    + ("kernel" if m.group(1) == "weight" else "bias")),
+         _GENERIC),
+        (r"^model\.region_encoder\.roi_align\.updims\.(weight|bias)$",
+         lambda m: ("region_encoder/roi_align/updims/"
+                    + ("kernel" if m.group(1) == "weight" else "bias")),
+         _GENERIC),
         # ---- prompt encoder ----
         (r"^model\.grounding_encoder\.prompt_encoder\.pe_layer\."
          r"positional_encoding_gaussian_matrix$",
@@ -257,7 +293,6 @@ SKIP_PATTERNS = (
     r"mask_decoder\.output_hypernetworks_mlps",
     r"mask_decoder\.iou_prediction_head",
     r"prompt_encoder\.mask_downscaling",
-    r"region_encoder\.",
     r"vision_model\.post_layernorm",
     r"rotary_emb\.inv_freq",
 )
@@ -501,6 +536,40 @@ def to_torch_state_dict(params, cfg: GroveConfig) -> Dict[str, np.ndarray]:
             idx = "1" if m.group(1) == "1" else "3"
             put(f"model.grounding_encoder.image_encoder.neck.{idx}."
                 f"{m.group(2)}", v)
+        elif ms(r"^region_encoder/mlvl_fuse/input_conv_(\d+)/kernel$"):
+            put(f"model.region_encoder.mlvl_fuse.input_conv.{m.group(1)}."
+                f"weight", _inv_conv2d(v))
+        elif ms(r"^region_encoder/mlvl_fuse/input_conv_(\d+)/bias$"):
+            put(f"model.region_encoder.mlvl_fuse.input_conv.{m.group(1)}."
+                f"bias", v)
+        elif ms(r"^region_encoder/mlvl_fuse/fuse_conv_(\d+)/kernel$"):
+            put(f"model.region_encoder.mlvl_fuse.fuse_convs.{m.group(1)}."
+                f"conv.weight", _inv_conv2d(v))
+        elif ms(r"^region_encoder/mlvl_fuse/fuse_gn_(\d+)/(scale|bias)$"):
+            suffix = "weight" if m.group(2) == "scale" else "bias"
+            put(f"model.region_encoder.mlvl_fuse.fuse_convs.{m.group(1)}."
+                f"gn.{suffix}", v)
+        elif ms(r"^region_encoder/roi_align/pconvs_(\d+)/kernel$"):
+            put(f"model.region_encoder.roi_align.pconvs.{m.group(1)}.weight",
+                _inv_conv2d(v))
+        elif ms(r"^region_encoder/roi_align/pconvs_(\d+)/bias$"):
+            put(f"model.region_encoder.roi_align.pconvs.{m.group(1)}.bias", v)
+        elif ms(r"^region_encoder/roi_align/pos_embedd_([03])/"
+                r"(kernel|bias)$"):
+            suffix = "weight" if m.group(2) == "kernel" else "bias"
+            val = _inv_linear(v) if m.group(2) == "kernel" else v
+            put(f"model.region_encoder.roi_align.pos_embedd.{m.group(1)}."
+                f"{suffix}", val)
+        elif ms(r"^region_encoder/roi_align/pos_embedd_([25])/"
+                r"(scale|bias)$"):
+            suffix = "weight" if m.group(2) == "scale" else "bias"
+            put(f"model.region_encoder.roi_align.pos_embedd.{m.group(1)}."
+                f"{suffix}", v)
+        elif ms(r"^region_encoder/roi_align/(flatten_linear|updims)/"
+                r"(kernel|bias)$"):
+            suffix = "weight" if m.group(2) == "kernel" else "bias"
+            val = _inv_linear(v) if m.group(2) == "kernel" else v
+            put(f"model.region_encoder.roi_align.{m.group(1)}.{suffix}", val)
         elif ms(r"^prompt_encoder/pe_layer/"
                 r"positional_encoding_gaussian_matrix$"):
             put("model.grounding_encoder.prompt_encoder.pe_layer."

@@ -93,3 +93,135 @@ def make_synthetic_howto_dataset(root: str, num_videos: int = 4,
         with open(os.path.join(ann_dir, f"{vid}.pkl"), "wb") as f:
             pickle.dump(ann, f)
     return ann_dir, video_dir, keys
+
+
+def make_synthetic_vidstg(root: str, num_videos: int = 2,
+                          num_frames: int = 24, width: int = 96,
+                          height: int = 64, fps: float = 5.0,
+                          seed: int = 0):
+    """VidSTG-layout JSON + clips. Returns (ann_path, video_dir)."""
+    import json
+    rng = np.random.default_rng(seed)
+    video_dir = os.path.join(root, "vidstg_videos")
+    os.makedirs(video_dir, exist_ok=True)
+    videos, trajectories = [], {}
+    for v in range(num_videos):
+        vid = f"stg{v:04d}"
+        ovid = f"orig_{vid}"
+        fname = f"{vid}.gif"
+        _make_clip(os.path.join(video_dir, fname), num_frames, width, height,
+                   fps, rng)
+        qtype = "declarative" if v % 2 == 0 else "interrogative"
+        videos.append({
+            "video_id": vid, "original_video_id": ovid,
+            "video_path": fname,
+            "caption": f"{_OBJECTS[v % len(_OBJECTS)]} moving around",
+            "qtype": qtype,
+            "tube_start_frame": 0, "tube_end_frame": num_frames,
+            "fps": fps, "width": width, "height": height, "target_id": 1,
+        })
+        traj = {}
+        for f in range(num_frames):
+            if rng.uniform() > 0.2:
+                x = float(rng.uniform(0, width / 2))
+                y = float(rng.uniform(0, height / 2))
+                traj[str(f)] = {"bbox": [x, y,
+                                         float(rng.uniform(10, width / 2)),
+                                         float(rng.uniform(10, height / 2))]}
+        trajectories[ovid] = {"1": traj}
+    ann_path = os.path.join(root, "vidstg.json")
+    with open(ann_path, "w") as f:
+        json.dump({"videos": videos, "trajectories": trajectories}, f)
+    return ann_path, video_dir
+
+
+def make_synthetic_pointing(root: str, num_clips: int = 2,
+                            num_frames: int = 20, width: int = 96,
+                            height: int = 64, fps: float = 5.0,
+                            seed: int = 0,
+                            segment_key: str = "segment_groundingyoutube_idx",
+                            secs_key: str = "secs_absolute"):
+    """GroundingYouTube/YouCook-layout annotation pickle + clips.
+
+    Returns (ann_path, video_dir, gt_data) where gt_data is the eval-side
+    list (with segment_bboxes)."""
+    import pickle as pkl
+    rng = np.random.default_rng(seed)
+    video_dir = os.path.join(root, "pointing_videos")
+    os.makedirs(video_dir, exist_ok=True)
+    anns, gt_data = [], []
+    for v in range(num_clips):
+        vid = f"pt{v:04d}"
+        fname = f"{vid}.gif"
+        _make_clip(os.path.join(video_dir, fname), num_frames, width, height,
+                   fps, rng)
+        pts = [i / fps for i in range(num_frames)]
+        target_secs = [float(pts[num_frames // 4]),
+                       float(pts[num_frames // 2])]
+        anns.append({
+            "video_id": vid, segment_key: 0, "video_fname": fname,
+            "caption": _OBJECTS[v % len(_OBJECTS)],
+            "pts": pts, secs_key: target_secs, "fps": fps,
+            "width": width, "height": height,
+        })
+        boxes = []
+        for _ in target_secs:
+            x = float(rng.uniform(0, width / 2))
+            y = float(rng.uniform(0, height / 2))
+            boxes.append((x, y, x + float(rng.uniform(10, width / 2)),
+                          y + float(rng.uniform(10, height / 2))))
+        gt_data.append({"video_id": vid, "segment_idx": 0,
+                        segment_key.replace("segment_", "segment_"): 0,
+                        "segment_bboxes": boxes})
+    ann_path = os.path.join(root, "pointing.pkl")
+    with open(ann_path, "wb") as f:
+        pkl.dump(anns, f)
+    return ann_path, video_dir, gt_data
+
+
+def make_synthetic_anet(root: str, num_videos: int = 2,
+                        num_frames: int = 40, width: int = 96,
+                        height: int = 64, fps: float = 5.0, seed: int = 0):
+    """ActivityNet-Entities-layout JSON + frame-timestamps + clips.
+
+    Returns (ann_path, video_dir, frame_timestamps)."""
+    import json
+    rng = np.random.default_rng(seed)
+    video_dir = os.path.join(root, "anet_videos")
+    os.makedirs(video_dir, exist_ok=True)
+    anns, frame_ts = {}, {}
+    for v in range(num_videos):
+        vid = f"v_anet{v:04d}"
+        _make_clip(os.path.join(video_dir, f"{vid}.gif"), num_frames, width,
+                   height, fps, rng)
+        duration = num_frames / fps
+        stored_ts = [i / fps for i in range(num_frames)]
+        frame_ts[vid] = stored_ts
+        labels = [_OBJECTS[v % len(_OBJECTS)].split()[-1],
+                  _OBJECTS[(v + 1) % len(_OBJECTS)].split()[-1]]
+        tokens = ["someone", "moves", labels[0], "near", "the", labels[1]]
+        boxes, fidx, pidx = [], [], []
+        for li, lab in enumerate(labels):
+            x = float(rng.uniform(0, width / 2))
+            y = float(rng.uniform(0, height / 2))
+            boxes.append([x, y, x + float(rng.uniform(10, width / 2)),
+                          y + float(rng.uniform(10, height / 2))])
+            fidx.append(int(rng.integers(0, 10)))
+            pidx.append([tokens.index(lab)])
+        anns[vid] = {
+            "fps": fps, "num_frames": num_frames, "duration": duration,
+            "segments": {
+                "0": {
+                    "tokens": tokens,
+                    "process_clss": [[l] for l in labels],
+                    "process_bnd_box": boxes,
+                    "frame_ind": fidx,
+                    "process_idx": pidx,
+                    "timestamps": [0.5, duration - 1.0],
+                }
+            },
+        }
+    ann_path = os.path.join(root, "anet.json")
+    with open(ann_path, "w") as f:
+        json.dump(anns, f)
+    return ann_path, video_dir, frame_ts

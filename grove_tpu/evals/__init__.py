@@ -1,1 +1,1 @@
-from . import captions, iground, pointing, vidstg  # noqa: F401
+from . import anet, captions, iground, pointing, vidstg  # noqa: F401

@@ -74,6 +74,132 @@ class FullClipIGroundDataset:
         }
 
 
+class FullClipVidSTGDataset:
+    """VidSTG inference: all tube frames at eval fps, caption given
+    (`infer_vidstg.py:388-493`)."""
+
+    def __init__(self, ann_path: str, video_dir: str, cfg: GroveConfig,
+                 fps: float = 5.0, decoder_factory=VideoDecoder,
+                 max_frames: int = 512):
+        import json
+        with open(ann_path) as f:
+            self.annotations = json.load(f)
+        self.video_dir = video_dir
+        self.cfg = cfg
+        self.fps = fps
+        self.decoder_factory = decoder_factory
+        self.max_frames = max_frames
+
+    def __len__(self):
+        return len(self.annotations["videos"])
+
+    def __getitem__(self, index: int) -> Dict:
+        from ..data.datasets.vidstg import parse_vidstg_video
+        vinfo = self.annotations["videos"][index]
+        ann = parse_vidstg_video(vinfo, self.annotations["trajectories"],
+                                 self.video_dir, self.fps)
+        rate = max(int(ann.fps / self.fps), 1)
+        ids = list(range(ann.clip_start_frame, ann.clip_end_frame, rate))
+        ids = ids[:self.max_frames]
+        ts = [i / ann.fps for i in ids]
+        with self.decoder_factory(ann.video_path) as dec:
+            frames = dec.decode_at(ts)
+        frames_clip, frames_sam = preprocess_frames(
+            frames, self.cfg.clip.image_size, self.cfg.sam_enc.img_size)
+        return {
+            "frames_clip": frames_clip, "frames_sam": frames_sam,
+            "original_size": (ann.width, ann.height),
+            "video_id": str(vinfo["video_id"]),
+            "qtype": vinfo.get("qtype", "declarative"),
+            "caption": ann.caption,
+            "frame_ids": ids,
+        }
+
+
+class FullClipPointingDataset:
+    """GroundingYouTube / YouCook-Interactions inference: caption given,
+    frames at annotation pts resampled to eval fps
+    (`infer_groundingyoutube.py:287-330`)."""
+
+    def __init__(self, ann_path: str, video_dir: str, cfg: GroveConfig,
+                 fps: float = 5.0, decoder_factory=VideoDecoder,
+                 segment_key: str = "segment_groundingyoutube_idx",
+                 secs_key: str = "secs_absolute"):
+        with open(ann_path, "rb") as f:
+            self.annotations = pickle.load(f)
+        self.video_dir = video_dir
+        self.cfg = cfg
+        self.fps = fps
+        self.decoder_factory = decoder_factory
+        self.segment_key = segment_key
+        self.secs_key = secs_key
+
+    def __len__(self):
+        return len(self.annotations)
+
+    def __getitem__(self, index: int) -> Dict:
+        video = self.annotations[index]
+        path = os.path.join(self.video_dir, video["video_fname"])
+        rate = max(int(video["fps"] / self.fps), 1)
+        pts = list(video["pts"])[::rate]
+        if list(video["pts"])[-1] not in pts:
+            pts.append(list(video["pts"])[-1])
+        with self.decoder_factory(path) as dec:
+            frames = dec.decode_at(pts)
+        frames_clip, frames_sam = preprocess_frames(
+            frames, self.cfg.clip.image_size, self.cfg.sam_enc.img_size)
+        return {
+            "frames_clip": frames_clip, "frames_sam": frames_sam,
+            "original_size": (video["width"], video["height"]),
+            "video_id": f"{video['video_id']}_{video[self.segment_key]}",
+            "caption": video["caption"],
+            "sampled_pts": pts,
+            "target_secs": list(video[self.secs_key]),
+        }
+
+
+def run_caption_grounding(dataset, model, variables, cfg: GroveConfig,
+                          tokenizer, *, task: str, rank: int = 0,
+                          world: int = 1, progress: bool = True) -> Dict:
+    """Caption-given grounding over a dataset shard (vidstg / pointing)."""
+    from ..text.prompts import VIDEO_STG_QUESTIONS
+    from .sliding import ground_clip_with_caption
+    question = VIDEO_STG_QUESTIONS[0] if task == "vidstg" else None
+    outputs: Dict[str, Dict] = {}
+    for i in range(rank, len(dataset), world):
+        t0 = time.time()
+        s = dataset[i]
+        out = ground_clip_with_caption(
+            model, variables, cfg, tokenizer, s["frames_clip"],
+            s["frames_sam"], s["original_size"], caption=s["caption"],
+            question=question, use_objectness=False)
+        if task == "vidstg":
+            outputs[s["video_id"]] = {
+                "frame_ids": s["frame_ids"],
+                "boxes": out["bboxes"],
+                "qtype": s["qtype"],
+            }
+        else:
+            # map each target sec to the closest sampled pts
+            # (`infer_groundingyoutube.py:216-219`)
+            pts = s["sampled_pts"]
+            pts_to_bbox = {p: b for p, b in zip(pts, out["bboxes"])}
+            final_boxes, selected = [], []
+            for sec in s["target_secs"]:
+                closest = min(pts, key=lambda p: abs(p - sec))
+                final_boxes.append(pts_to_bbox[closest])
+                selected.append(closest)
+            outputs[s["video_id"]] = {
+                "pts_to_bbox": pts_to_bbox,
+                "final_boxes": final_boxes,
+                "selected_pts": selected,
+            }
+        if progress:
+            print(f"[{rank}] {task} clip {s['video_id']}: "
+                  f"{time.time() - t0:.1f}s", flush=True)
+    return outputs
+
+
 def update_and_sort_video_outputs(gathered: List[Dict]) -> Dict:
     """Merge per-rank result dicts, first occurrence wins
     (`infer_iground.py:87-108`)."""
@@ -137,7 +263,9 @@ def gather_outputs(video_outputs: Dict) -> Dict:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="GROVE TPU batch inference")
-    p.add_argument("--task", default="iground", choices=["iground"])
+    p.add_argument("--task", default="iground",
+                   choices=["iground", "vidstg", "groundingyoutube",
+                            "youcookinteractions"])
     p.add_argument("--model_size", default="tiny",
                    choices=["tiny", "small", "full"])
     p.add_argument("--version", default=None,
@@ -156,9 +284,23 @@ def main(argv=None):
 
     if args.synthetic:
         import tempfile
-        from ..data.synthetic import make_synthetic_howto_dataset
         root = tempfile.mkdtemp(prefix="grove_infer_")
-        args.ann_dir, args.video_dir, _ = make_synthetic_howto_dataset(root)
+        if args.task == "iground":
+            from ..data.synthetic import make_synthetic_howto_dataset
+            args.ann_dir, args.video_dir, _ = \
+                make_synthetic_howto_dataset(root)
+        elif args.task == "vidstg":
+            from ..data.synthetic import make_synthetic_vidstg
+            args.ann_dir, args.video_dir = make_synthetic_vidstg(root)
+        else:
+            from ..data.synthetic import make_synthetic_pointing
+            key = ("segment_groundingyoutube_idx"
+                   if args.task == "groundingyoutube"
+                   else "segment_youcookinteractions_idx")
+            secs = ("secs_absolute" if args.task == "groundingyoutube"
+                    else "secs_relative")
+            args.ann_dir, args.video_dir, _ = make_synthetic_pointing(
+                root, segment_key=key, secs_key=secs)
 
     from ..train.driver import build_tokenizer
     tokenizer = build_tokenizer(args, cfg)
@@ -180,12 +322,30 @@ def main(argv=None):
         variables = {"params": params}
         print(f"loaded {report['converted']} tensors")
 
-    dataset = FullClipIGroundDataset(args.ann_dir, args.video_dir, cfg,
-                                     max_frames=args.max_frames)
-    outputs = run_inference(dataset, model, variables, cfg, tokenizer,
-                            max_new_tokens=args.max_new_tokens,
-                            rank=jax.process_index(),
-                            world=jax.process_count())
+    if args.task == "iground":
+        dataset = FullClipIGroundDataset(args.ann_dir, args.video_dir, cfg,
+                                         max_frames=args.max_frames)
+        outputs = run_inference(dataset, model, variables, cfg, tokenizer,
+                                max_new_tokens=args.max_new_tokens,
+                                rank=jax.process_index(),
+                                world=jax.process_count())
+    elif args.task == "vidstg":
+        dataset = FullClipVidSTGDataset(args.ann_dir, args.video_dir, cfg,
+                                        max_frames=args.max_frames)
+        outputs = run_caption_grounding(
+            dataset, model, variables, cfg, tokenizer, task="vidstg",
+            rank=jax.process_index(), world=jax.process_count())
+    else:
+        key = ("segment_groundingyoutube_idx"
+               if args.task == "groundingyoutube"
+               else "segment_youcookinteractions_idx")
+        secs = ("secs_absolute" if args.task == "groundingyoutube"
+                else "secs_relative")
+        dataset = FullClipPointingDataset(args.ann_dir, args.video_dir, cfg,
+                                          segment_key=key, secs_key=secs)
+        outputs = run_caption_grounding(
+            dataset, model, variables, cfg, tokenizer, task=args.task,
+            rank=jax.process_index(), world=jax.process_count())
     outputs = gather_outputs(outputs)
     if jax.process_index() == 0:
         with open(args.output, "wb") as f:
@@ -196,3 +356,170 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# ActivityNet-Entities inference (`infer_anet.py`)
+# ---------------------------------------------------------------------------
+
+class FullClipANetDataset:
+    """10 segment-midpoint frames per segment, caption to be generated
+    (`infer_anet.py:111-121` works on these 10 frames)."""
+
+    def __init__(self, ann_path: str, video_dir: str,
+                 frame_timestamps, cfg: GroveConfig,
+                 decoder_factory=VideoDecoder, target_width: int = 720):
+        from ..data.datasets.anet_entities import ActivityNetEntitiesDataset
+        self.ds = ActivityNetEntitiesDataset(
+            ann_path, video_dir, frame_timestamps, decoder_factory,
+            num_frames=cfg.num_frames, clip_size=cfg.clip.image_size,
+            sam_size=cfg.sam_enc.img_size, max_phrases=cfg.max_phrases,
+            validation=True, target_width=target_width)
+        self.cfg = cfg
+
+    def __len__(self):
+        return len(self.ds.segment_map)
+
+    def __getitem__(self, index: int) -> Dict:
+        from ..data.datasets.anet_entities import compute_midpoint_timestamps
+        video_id, segment_id = self.ds.segment_map[index]
+        ann = self.ds.parse_segment(video_id, segment_id)
+        start, end = ann["timestamps"]
+        end = min(end, self.ds.frame_timestamps[video_id][-2])
+        midpoints = compute_midpoint_timestamps(start, end, 10)
+        frames, w, h = self.ds.decode_frames(video_id, midpoints)
+        frames_clip, frames_sam = preprocess_frames(
+            frames, self.cfg.clip.image_size, self.cfg.sam_enc.img_size)
+        return {
+            "frames_clip": frames_clip, "frames_sam": frames_sam,
+            "original_size": (w, h), "video_id": video_id,
+            "segment_id": segment_id, "caption_gt": ann["caption"],
+        }
+
+
+def _phrase_word_indices(caption: str, phrases: List[str]) -> List[int]:
+    """First-word index of each phrase in the caption (idx_in_sent)."""
+    words = caption.lower().split()
+    out = []
+    for ph in phrases:
+        first = ph.lower().split()[0] if ph.split() else ""
+        idx = next((i for i, wd in enumerate(words) if first and first in wd),
+                   -1)
+        out.append(idx)
+    return out
+
+
+def run_anet_inference(dataset, model, variables, cfg: GroveConfig,
+                       tokenizer, *, max_new_tokens: int = 64, rank: int = 0,
+                       world: int = 1, progress: bool = True) -> Dict:
+    """Sliding windows [0-8), [1-9), [2-10): generate on window 0, box-only
+    passes for frames 8 and 9 (`infer_anet.py:111-292`). Emits the official
+    submission structure {vid: {seg: {clss, idx_in_sent,
+    bbox_for_all_frames}}}."""
+    import numpy as np
+    from ..text import tagging
+    from ..text.packing import pack_text
+    from ..text.prompts import grounding_prompt, tokenize_with_video
+    from .generate import generate_grounded
+    from .sliding import postprocess_window
+    from ..models.grove import GroveModel
+    import jax.numpy as jnp
+
+    nf = cfg.num_frames
+    outputs: Dict[str, Dict] = {}
+    for i in range(rank, len(dataset), world):
+        t0 = time.time()
+        s = dataset[i]
+        fc_all, fs_all = s["frames_clip"], s["frames_sam"]
+        w0 = list(range(0, nf))
+        prompt = grounding_prompt()
+        pids = tokenize_with_video(prompt, tokenizer)
+        packed = pack_text(pids, None, tokenizer,
+                           num_video_tokens=cfg.num_video_tokens,
+                           max_spliced_len=len(pids) - 1
+                           + cfg.num_video_tokens,
+                           det_token_id=cfg.tokens.det,
+                           max_phrases=cfg.max_phrases,
+                           pad_id=tokenizer.pad_token_id, with_labels=False)
+        gen = generate_grounded(
+            model, variables, cfg, tokenizer, packed.input_ids[None],
+            np.asarray([packed.video_start]),
+            jnp.asarray(fc_all[w0][None]), jnp.asarray(fs_all[w0][None]),
+            max_new_tokens=max_new_tokens)
+        gen_ids = [int(t) for t in gen["generated_ids"][0]
+                   if t != cfg.tokens.pad]
+        raw = tokenizer.decode(gen_ids, skip_special_tokens=False)
+        text_output = raw.replace("\n", "").replace("  ", " ")
+        if "ASSISTANT: " in text_output:
+            text_output = text_output.split("ASSISTANT: ")[-1]
+        parsed = tagging.parse_generation(text_output)
+        phrases = parsed["phrases"]
+        num_dets = int(gen["phrase_mask"][0].sum())
+
+        boxes_by_frame, _, _ = postprocess_window(
+            gen["pred_boxes"][0],
+            None,                       # keep ALL det boxes per frame
+            phrases, num_dets, s["original_size"], 0.0)
+
+        # frames 8, 9 via teacher-forced windows [1-9) and [2-10)
+        if num_dets > 0:
+            ans_prompt = grounding_prompt(answer=text_output)
+            aids = tokenize_with_video(ans_prompt, tokenizer)
+            ap = pack_text(aids, None, tokenizer,
+                           num_video_tokens=cfg.num_video_tokens,
+                           max_spliced_len=len(aids) - 1
+                           + cfg.num_video_tokens,
+                           det_token_id=cfg.tokens.det,
+                           max_phrases=cfg.max_phrases,
+                           pad_id=tokenizer.pad_token_id, with_labels=False)
+            extra_windows = [list(range(1, nf + 1)),
+                             list(range(2, nf + 2))]
+            batch = {
+                "frames_clip": jnp.asarray(np.stack(
+                    [fc_all[wdw] for wdw in extra_windows])),
+                "frames_sam": jnp.asarray(np.stack(
+                    [fs_all[wdw] for wdw in extra_windows])),
+                "input_ids": jnp.asarray(np.tile(ap.input_ids[None],
+                                                 (2, 1))),
+                "video_start": jnp.full((2,), int(ap.video_start),
+                                        jnp.int32),
+                "det_positions": jnp.asarray(np.tile(
+                    ap.det_positions[None], (2, 1))),
+                "phrase_mask": jnp.asarray(np.tile(
+                    ap.phrase_mask[None], (2, 1)).astype(np.float32)),
+            }
+            out = model.apply(variables, batch,
+                              method=GroveModel.forward_boxes)
+            pb = np.asarray(out["pred_boxes"], np.float32)
+            n_tf = int(ap.phrase_mask.sum())
+            for wi, wdw in enumerate(extra_windows):
+                wb, _, _ = postprocess_window(pb[wi], None, phrases, n_tf,
+                                              s["original_size"], 0.0)
+                boxes_by_frame.append(wb[-1])   # last frame = nf+wi
+        else:
+            boxes_by_frame.extend([np.zeros((0, 4), np.float32)] * 2)
+
+        # per-object 10-frame box lists
+        n_obj = min(num_dets, len(phrases))
+        bbox_for_all_frames = []
+        for oi in range(n_obj):
+            per_frame = []
+            for f in range(10):
+                fb = boxes_by_frame[f] if f < len(boxes_by_frame) else \
+                    np.zeros((0, 4), np.float32)
+                per_frame.append(fb[oi].tolist() if oi < len(fb)
+                                 else [0.0, 0.0, 0.0, 0.0])
+            bbox_for_all_frames.append(per_frame)
+
+        vid = s["video_id"]
+        outputs.setdefault(vid, {})[s["segment_id"]] = {
+            "clss": phrases[:n_obj],
+            "idx_in_sent": _phrase_word_indices(parsed["text"],
+                                                phrases[:n_obj]),
+            "bbox_for_all_frames": bbox_for_all_frames,
+            "pred_text": parsed["text"],
+        }
+        if progress:
+            print(f"[{rank}] anet {vid}/{s['segment_id']}: "
+                  f"{time.time() - t0:.1f}s", flush=True)
+    return outputs

@@ -69,6 +69,77 @@ def postprocess_window(boxes: np.ndarray, obj_logits: Optional[np.ndarray],
     return out_boxes, out_labels, out_probs
 
 
+def ground_clip_with_caption(model: GroveModel, variables, cfg: GroveConfig,
+                             tokenizer, frames_clip_all: np.ndarray,
+                             frames_sam_all: np.ndarray, original_size, *,
+                             caption: str, question: Optional[str] = None,
+                             use_objectness: bool = False,
+                             threshold: Optional[float] = None) -> Dict:
+    """Caption-given grounding over every frame (no generation).
+
+    The VidSTG / GroundingYouTube / YouCook inference mode
+    (`infer_vidstg.py:156-217`): answer = "<p> caption </p> [DET]", all
+    sliding windows run teacher-forced in one batched pass, one box per
+    phrase per frame (objectness filtering optional). Returns
+    {frame_indices, bboxes (per frame (K,4) xyxy unnormalized), probs}.
+    """
+    threshold = (threshold if threshold is not None
+                 else cfg.temp_objectness_threshold)
+    t_total = frames_clip_all.shape[0]
+    nf = cfg.num_frames
+    windows, masks = sliding_segment_with_mask(t_total, nf)
+
+    answer = f"<p> {caption.strip()} </p> [DET]"
+    prompt = grounding_prompt(question=question, answer=answer)
+    ids = tokenize_with_video(prompt, tokenizer)
+    ap = pack_text(ids, None, tokenizer,
+                   num_video_tokens=cfg.num_video_tokens,
+                   max_spliced_len=len(ids) - 1 + cfg.num_video_tokens,
+                   det_token_id=cfg.tokens.det,
+                   max_phrases=cfg.max_phrases,
+                   pad_id=tokenizer.pad_token_id, with_labels=False)
+    num_dets = int(ap.phrase_mask.sum())
+
+    live = [(w, m) for w, m in zip(windows, masks) if any(m)]
+    nw = len(live)
+    batch = {
+        "frames_clip": jnp.asarray(np.stack(
+            [frames_clip_all[w] for w, _ in live])),
+        "frames_sam": jnp.asarray(np.stack(
+            [frames_sam_all[w] for w, _ in live])),
+        "input_ids": jnp.asarray(np.tile(ap.input_ids[None], (nw, 1))),
+        "video_start": jnp.full((nw,), int(ap.video_start), jnp.int32),
+        "det_positions": jnp.asarray(np.tile(ap.det_positions[None],
+                                             (nw, 1))),
+        "phrase_mask": jnp.asarray(np.tile(ap.phrase_mask[None],
+                                           (nw, 1)).astype(np.float32)),
+    }
+    out = model.apply(variables, batch, method=GroveModel.forward_boxes)
+    pb = np.asarray(out["pred_boxes"], np.float32)
+    ob = (np.asarray(out["objectness_logits"], np.float32)
+          if (use_objectness and out["objectness_logits"] is not None)
+          else None)
+
+    all_boxes, all_probs, seen_order = [], [], []
+    for wi, (w, m) in enumerate(live):
+        wb, _, wp = postprocess_window(pb[wi],
+                                       ob[wi] if ob is not None else None,
+                                       [caption], num_dets, original_size,
+                                       threshold)
+        for k, idx in enumerate(w):
+            if m[k]:
+                all_boxes.append(wb[k])
+                all_probs.append(wp[k])
+                seen_order.append(idx)
+    order = sorted(range(len(seen_order)), key=lambda k: seen_order[k])
+    return {
+        "frame_indices": [seen_order[i] for i in order],
+        "bboxes": [all_boxes[i] for i in order],
+        "probs_temp_objectness": [all_probs[i] for i in order],
+        "original_size": tuple(original_size),
+    }
+
+
 def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
                frames_clip_all: np.ndarray, frames_sam_all: np.ndarray,
                original_size, *, instruction: Optional[str] = None,

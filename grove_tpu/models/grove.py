@@ -64,6 +64,12 @@ class GroveModel(nn.Module):
                                   name="text_hidden_fcs_0")
         self.text_fc_2 = nn.Dense(cfg.out_dim, dtype=self.dtype,
                                   name="text_hidden_fcs_2")
+        if cfg.with_region:
+            from .region import MLVLROIQueryModule
+            self.region_encoder = MLVLROIQueryModule(
+                embed_dims=cfg.clip.hidden_size,
+                out_dims=cfg.llama.hidden_size, dtype=self.dtype,
+                name="region_encoder")
         self.embed_tokens = LlamaEmbed(cfg.llama, dtype=self.dtype,
                                        name="embed_tokens")
         self.llama = LlamaModel(cfg.llama, dtype=self.dtype, remat=self.remat,
@@ -97,6 +103,31 @@ class GroveModel(nn.Module):
 
     def dense_pe(self):
         return self.prompt_encoder.get_dense_pe()      # (g, g, C)
+
+    def encode_regions(self, mlvl_feats, rois_norm, roi_batch_idx):
+        """<bbox>-prompt region queries (`llava_with_region_arch.py:114-125`).
+
+        mlvl_feats: CLIP multi-level patch features from encode_video;
+        rois_norm: (N, 4) normalized xyxy; roi_batch_idx: (N,).
+        Returns (N, hidden) region query embeddings."""
+        return self.region_encoder(mlvl_feats, rois_norm, roi_batch_idx)
+
+    def splice_regions(self, embeds, input_ids, region_embeds):
+        """Replace <bbox>-token embeddings with region queries.
+
+        Mirrors `llava_with_region_arch.py:333-347`: the k-th <bbox> token of
+        sample b takes region_embeds row for that (b, k). region_embeds:
+        (B, R, D) zero-padded; positions are located by token id."""
+        bbox_id = self.cfg.tokens.bbox
+        b, l = input_ids.shape
+        is_bbox = input_ids == bbox_id                     # (B, L)
+        # k-th occurrence index for every position
+        occ = jnp.cumsum(is_bbox, axis=1) - 1              # (B, L)
+        occ = jnp.clip(occ, 0, region_embeds.shape[1] - 1)
+        gathered = jnp.take_along_axis(
+            region_embeds, occ[..., None].astype(jnp.int32), axis=1)
+        return jnp.where(is_bbox[..., None], gathered.astype(embeds.dtype),
+                         embeds)
 
     # ------------------------------------------------------------------
     # language model
@@ -207,6 +238,17 @@ class GroveModel(nn.Module):
             use_temp_objectness=cfg.use_temp_objectness,
             ignore_index=cfg.tokens.ignore_index)
 
+    def init_all(self, batch: Dict[str, jax.Array]):
+        """Init-only path touching every submodule (incl. the dormant region
+        encoder, which ships in reference checkpoints)."""
+        out = self.forward_train(batch)
+        if self.cfg.with_region:
+            _, mlvl = self.encode_video(batch["frames_clip"])
+            rois = jnp.array([[0.1, 0.1, 0.6, 0.6]], jnp.float32)
+            bidx = jnp.zeros((1,), jnp.int32)
+            _ = self.encode_regions(mlvl, rois, bidx)
+        return out
+
     def forward_boxes(self, batch: Dict[str, jax.Array]):
         """Teacher-forced inference path -> raw boxes + objectness logits
         (reference model_forward(inference=True)); unnormalization and
@@ -242,6 +284,6 @@ def init_grove_params(cfg: GroveConfig, rng, dtype=jnp.bfloat16,
     # jit the init: on the axon TPU relay eager execution is pathologically
     # slow, and jit also avoids materializing intermediate activations.
     init_fn = jax.jit(
-        lambda r: model.init(r, dummy, method=GroveModel.forward_train))
+        lambda r: model.init(r, dummy, method=GroveModel.init_all))
     variables = init_fn(rng)
     return model, variables
