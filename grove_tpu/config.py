@@ -169,6 +169,9 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     max_position_embeddings: int = 4096
+    # LoRA on q/v projections (reference `train.py:336-359`, r=0 disables)
+    lora_r: int = 0
+    lora_alpha: float = 16.0
 
     @property
     def head_dim(self) -> int:

@@ -52,6 +52,23 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
             ).astype(x.dtype)
 
 
+class LoraDelta(nn.Module):
+    """Zero-init LoRA adapter: x @ A^T @ B^T * (alpha / r)."""
+    features: int
+    r: int
+    alpha: float
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        a = nn.Dense(self.r, use_bias=False, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(0.01),
+                     name="lora_A")(x)
+        b = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros, name="lora_B")(a)
+        return b * (self.alpha / self.r)
+
+
 class LlamaAttention(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.bfloat16
@@ -63,11 +80,21 @@ class LlamaAttention(nn.Module):
         b, s, _ = x.shape
         hd = cfg.head_dim
         q = nn.Dense(cfg.num_heads * hd, use_bias=False, dtype=self.dtype,
-                     name="q_proj")(x).reshape(b, s, cfg.num_heads, hd)
+                     name="q_proj")(x)
         k = nn.Dense(cfg.num_kv_heads * hd, use_bias=False, dtype=self.dtype,
-                     name="k_proj")(x).reshape(b, s, cfg.num_kv_heads, hd)
+                     name="k_proj")(x)
         v = nn.Dense(cfg.num_kv_heads * hd, use_bias=False, dtype=self.dtype,
-                     name="v_proj")(x).reshape(b, s, cfg.num_kv_heads, hd)
+                     name="v_proj")(x)
+        if cfg.lora_r > 0:
+            # reference LoRA targets q_proj/v_proj (`train.py:52`)
+            q = q + LoraDelta(cfg.num_heads * hd, cfg.lora_r, cfg.lora_alpha,
+                              dtype=self.dtype, name="q_proj_lora")(x)
+            v = v + LoraDelta(cfg.num_kv_heads * hd, cfg.lora_r,
+                              cfg.lora_alpha, dtype=self.dtype,
+                              name="v_proj_lora")(x)
+        q = q.reshape(b, s, cfg.num_heads, hd)
+        k = k.reshape(b, s, cfg.num_kv_heads, hd)
+        v = v.reshape(b, s, cfg.num_kv_heads, hd)
 
         cos, sin = rope_angles(positions, hd, cfg.rope_theta)
         q = apply_rope(q, cos, sin)

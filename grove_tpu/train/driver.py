@@ -74,6 +74,8 @@ def parse_args(args=None):
     p.add_argument("--grad_clip", default=1.0, type=float)
     p.add_argument("--no_freeze", action="store_true",
                    help="train all params (reference trains adapters/heads)")
+    p.add_argument("--lora_r", default=0, type=int)
+    p.add_argument("--lora_alpha", default=16.0, type=float)
     # parallelism
     p.add_argument("--mesh_model", default=1, type=int)
     # logging / checkpointing
@@ -98,6 +100,9 @@ def build_config(args) -> GroveConfig:
     overrides["ce_loss_weight"] = args.ce_loss_weight
     overrides["giou_loss_weight"] = args.giou_loss_weight
     overrides["temp_objectness_loss_weight"] = args.temp_objectness_loss_weight
+    if getattr(args, "lora_r", 0):
+        overrides["llama"] = dataclasses.replace(
+            cfg.llama, lora_r=args.lora_r, lora_alpha=args.lora_alpha)
     return dataclasses.replace(cfg, **overrides)
 
 
@@ -206,9 +211,11 @@ def main(args=None):
     if args.version and os.path.exists(args.version):
         import torch
         from ..checkpoint.torch_convert import convert_state_dict, merge_into
+        from ..tools.merge_lora import normalize_peft_state_dict
         sd = torch.load(args.version, map_location="cpu")
         sd = {k: v.float().numpy() for k, v in sd.items()
               if hasattr(v, "numpy")}
+        sd = normalize_peft_state_dict(sd)
         converted, report = convert_state_dict(sd, cfg)
         params, missing, mismatched = merge_into(params, converted)
         print(f"loaded {report['converted']} tensors from {args.version}; "

@@ -34,6 +34,7 @@ TRAINABLE_PATTERNS_FINETUNE = (
     r"mm_projector",
     r"lm_head",
     r"embed_tokens",
+    r"_lora",                   # LoRA adapters (q/v projections)
 )
 
 
