@@ -1,0 +1,108 @@
+"""GroveForCausalLM-style facade: one object bundling config+params+methods.
+
+API-parity sugar over the functional core, mirroring
+`grove_transformers.GroveForCausalLM.from_pretrained`
+(`modeling_grove.py:132-155`): builds the config, loads/initializes weights
+(torch `.bin` via the converter, Orbax dir, or fresh), captures special-token
+ids from the tokenizer, and exposes the mode-multiplexed surface of the
+reference as methods.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GroveConfig
+from ..models.grove import GroveModel, init_grove_params
+
+
+class GroveForCausalLM:
+    def __init__(self, cfg: GroveConfig, model: GroveModel, variables):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, checkpoint: Optional[str] = None,
+                        model_size: str = "full",
+                        tokenizer=None, dtype=jnp.bfloat16,
+                        seed: int = 0) -> "GroveForCausalLM":
+        cfg = {"tiny": GroveConfig.tiny, "small": GroveConfig.small,
+               "full": GroveConfig}[model_size]()
+        if tokenizer is not None:
+            import dataclasses
+            from ..text.tokenizer import special_token_ids_from
+            cfg = dataclasses.replace(cfg,
+                                      tokens=special_token_ids_from(tokenizer))
+        model, variables = init_grove_params(cfg, jax.random.PRNGKey(seed),
+                                             dtype=dtype)
+        if checkpoint:
+            if os.path.isdir(checkpoint):
+                from ..checkpoint.orbax_io import CheckpointManager
+                mgr = CheckpointManager(checkpoint)
+                restored = (mgr.restore_best({"params": variables["params"]})
+                            or mgr.restore(
+                                template={"params": variables["params"],
+                                          "opt_state": None}))
+                if restored:
+                    variables = {"params": restored["params"]}
+            else:
+                import torch
+                from ..checkpoint.torch_convert import (convert_state_dict,
+                                                        merge_into)
+                from ..tools.merge_lora import normalize_peft_state_dict
+                sd = torch.load(checkpoint, map_location="cpu")
+                sd = {k: v.float().numpy() for k, v in sd.items()
+                      if hasattr(v, "numpy")}
+                sd = normalize_peft_state_dict(sd)
+                converted, _ = convert_state_dict(sd, cfg)
+                params, _, _ = merge_into(variables["params"], converted)
+                variables = {"params": params}
+        return cls(cfg, model, variables)
+
+    # ------------------------------------------------------------------
+    # mode-multiplexed surface (reference `model/GROVE.py:138-154`)
+    # ------------------------------------------------------------------
+    def encode_images(self, frames_clip):
+        from ..infer.jit_utils import apply_jit
+        return apply_jit(self.model, self.variables, frames_clip,
+                         method="encode_video")
+
+    def get_grounding_encoder_embs(self, frames_sam):
+        from ..infer.jit_utils import apply_jit
+        return apply_jit(self.model, self.variables, frames_sam,
+                         method="encode_grounding")
+
+    def get_dense_pe(self):
+        return self.model.apply(self.variables,
+                                method=GroveModel.dense_pe)
+
+    def forward_train(self, batch: Dict):
+        from ..infer.jit_utils import apply_jit
+        return apply_jit(self.model, self.variables, batch,
+                         method="forward_train")
+
+    def forward_boxes(self, batch: Dict):
+        from ..infer.jit_utils import apply_jit
+        return apply_jit(self.model, self.variables, batch,
+                         method="forward_boxes")
+
+    def evaluate(self, tokenizer, spliced_ids, video_start, frames_clip,
+                 frames_sam, max_new_tokens: int = 64):
+        from ..infer.generate import generate_grounded
+        return generate_grounded(self.model, self.variables, self.cfg,
+                                 tokenizer, spliced_ids, video_start,
+                                 frames_clip, frames_sam,
+                                 max_new_tokens=max_new_tokens)
+
+    def generate_clip(self, tokenizer, video_path: str, **kw):
+        from .processor import GroveProcessor
+        proc = GroveProcessor(tokenizer, self.cfg)
+        return proc.generate(self.model, self.variables, video_path, **kw)

@@ -488,8 +488,9 @@ def run_anet_inference(dataset, model, variables, cfg: GroveConfig,
                 "phrase_mask": jnp.asarray(np.tile(
                     ap.phrase_mask[None], (2, 1)).astype(np.float32)),
             }
-            out = model.apply(variables, batch,
-                              method=GroveModel.forward_boxes)
+            from .jit_utils import apply_jit
+            out = apply_jit(model, variables, batch,
+                            method="forward_boxes")
             pb = np.asarray(out["pred_boxes"], np.float32)
             n_tf = int(ap.phrase_mask.sum())
             for wi, wdw in enumerate(extra_windows):

@@ -23,6 +23,45 @@ from ..models.grove import GroveModel
 from ..models.llama import init_kv_caches
 from ..text import tagging
 from ..text.packing import det_gather_positions
+from .jit_utils import apply_jit
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
+               pad_id: int, cache_dtype):
+    """One fused jit: prefill + full greedy scan (single device launch)."""
+
+    @jax.jit
+    def run(variables, spliced_ids, video_embeds, video_start):
+        cfg = model.cfg
+        b = spliced_ids.shape[0]
+        caches = init_kv_caches(cfg.llama, b, ls + max_new_tokens,
+                                dtype=cache_dtype)
+        prefill_hidden, logits, caches = model.apply(
+            variables, spliced_ids, video_embeds, video_start, caches,
+            method=GroveModel.prefill)
+        first_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+        def step(carry, i):
+            tok, caches, done = carry
+            hidden, logits, caches = model.apply(
+                variables, tok[:, None], ls + i, caches,
+                method=GroveModel.decode_step)
+            next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            emitted = jnp.where(done, pad_id, tok)
+            done_next = done | (tok == eos_id)
+            next_tok = jnp.where(done_next, pad_id, next_tok)
+            return (next_tok, caches, done_next), (emitted, hidden[:, 0])
+
+        (_, _, _), (gen_ids, step_hidden) = jax.lax.scan(
+            step, (first_tok, caches, jnp.zeros((b,), bool)),
+            jnp.arange(max_new_tokens))
+        gen_ids = gen_ids.T                              # (B, max_new)
+        step_hidden = step_hidden.transpose(1, 0, 2)     # (B, max_new, D)
+        hidden = jnp.concatenate([prefill_hidden, step_hidden], axis=1)
+        return gen_ids, hidden
+
+    return run
 
 
 def greedy_decode(model: GroveModel, variables, spliced_ids, video_embeds,
@@ -32,34 +71,10 @@ def greedy_decode(model: GroveModel, variables, spliced_ids, video_embeds,
 
     Returns (generated_ids (B, max_new), hidden (B, Ls+max_new, D)).
     """
-    cfg = model.cfg
     b, ls = spliced_ids.shape
-    caches = init_kv_caches(cfg.llama, b, ls + max_new_tokens,
-                            dtype=cache_dtype)
-
-    prefill_hidden, logits, caches = model.apply(
-        variables, spliced_ids, video_embeds, video_start, caches,
-        method=GroveModel.prefill)
-    first_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-
-    def step(carry, i):
-        tok, caches, done = carry
-        hidden, logits, caches = model.apply(
-            variables, tok[:, None], ls + i, caches,
-            method=GroveModel.decode_step)
-        next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-        emitted = jnp.where(done, pad_id, tok)
-        done_next = done | (tok == eos_id)
-        next_tok = jnp.where(done_next, pad_id, next_tok)
-        return (next_tok, caches, done_next), (emitted, hidden[:, 0])
-
-    (_, _, _), (gen_ids, step_hidden) = jax.lax.scan(
-        step, (first_tok, caches, jnp.zeros((b,), bool)),
-        jnp.arange(max_new_tokens))
-    gen_ids = gen_ids.T                                  # (B, max_new)
-    step_hidden = step_hidden.transpose(1, 0, 2)         # (B, max_new, D)
-    hidden = jnp.concatenate([prefill_hidden, step_hidden], axis=1)
-    return gen_ids, hidden
+    fn = _decode_fn(model, ls, max_new_tokens, int(eos_id), int(pad_id),
+                    cache_dtype)
+    return fn(variables, spliced_ids, video_embeds, video_start)
 
 
 def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
@@ -72,10 +87,10 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
     Host orchestration: encoders -> greedy decode -> host det-position
     extraction -> grounding head. Returns raw arrays + parsed text fields.
     """
-    video_embeds, _ = model.apply(variables, frames_clip,
-                                  method=GroveModel.encode_video)
-    image_embeddings = model.apply(variables, frames_sam,
-                                   method=GroveModel.encode_grounding)
+    video_embeds, _ = apply_jit(model, variables, frames_clip,
+                                method="encode_video")
+    image_embeddings = apply_jit(model, variables, frames_sam,
+                                 method="encode_grounding")
     gen_ids, hidden = greedy_decode(
         model, variables, jnp.asarray(spliced_ids), video_embeds,
         jnp.asarray(video_start), max_new_tokens=max_new_tokens,
@@ -93,9 +108,9 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
         det_positions[i] = pos
         phrase_mask[i] = mask
 
-    boxes, obj = model.apply(variables, hidden,
-                             jnp.asarray(det_positions), image_embeddings,
-                             method=GroveModel.ground)
+    boxes, obj = apply_jit(model, variables, hidden,
+                           jnp.asarray(det_positions), image_embeddings,
+                           method="ground")
 
     outputs = []
     for i in range(b):

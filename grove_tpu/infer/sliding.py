@@ -30,6 +30,7 @@ from ..text import tagging
 from ..text.packing import pack_text
 from ..text.prompts import grounding_prompt, tokenize_with_video
 from .generate import generate_grounded
+from .jit_utils import apply_jit
 
 
 def _sigmoid(x):
@@ -114,7 +115,7 @@ def ground_clip_with_caption(model: GroveModel, variables, cfg: GroveConfig,
         "phrase_mask": jnp.asarray(np.tile(ap.phrase_mask[None],
                                            (nw, 1)).astype(np.float32)),
     }
-    out = model.apply(variables, batch, method=GroveModel.forward_boxes)
+    out = apply_jit(model, variables, batch, method="forward_boxes")
     pb = np.asarray(out["pred_boxes"], np.float32)
     ob = (np.asarray(out["objectness_logits"], np.float32)
           if (use_objectness and out["objectness_logits"] is not None)
@@ -226,7 +227,7 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
             "phrase_mask": jnp.asarray(
                 np.tile(ap.phrase_mask[None], (nw, 1)).astype(np.float32)),
         }
-        out = model.apply(variables, batch, method=GroveModel.forward_boxes)
+        out = apply_jit(model, variables, batch, method="forward_boxes")
         pb = np.asarray(out["pred_boxes"], np.float32)
         ob = (np.asarray(out["objectness_logits"], np.float32)
               if out["objectness_logits"] is not None else None)

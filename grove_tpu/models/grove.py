@@ -263,9 +263,9 @@ class GroveModel(nn.Module):
 
 
 def init_grove_params(cfg: GroveConfig, rng, dtype=jnp.bfloat16,
-                      batch: int = 1):
+                      batch: int = 1, remat: bool = False):
     """Initialize a full parameter tree with dummy inputs."""
-    model = GroveModel(cfg, dtype=dtype)
+    model = GroveModel(cfg, dtype=dtype, remat=remat)
     t = cfg.num_frames
     dummy = {
         "frames_clip": jnp.zeros((batch, t, cfg.clip.image_size,

@@ -30,16 +30,7 @@ from ..ops.attention import multi_head_attention
 from .layers import LayerNorm2d, MLPBlock, SpatioTemporalConvAdapter
 
 
-def _rel_pos_index(q_size: int, k_size: int) -> np.ndarray:
-    """Static gather indices into a (2*max(q,k)-1, C) rel-pos table.
-
-    Mirrors `image_encoder.py:get_rel_pos:387-417` for the q_size == k_size
-    case used here (interpolation handled at checkpoint-load time).
-    """
-    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
-    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
-    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
-    return rel.astype(np.int64)
+from ..ops.sam_encoder_tables import rel_pos_index as _rel_pos_index
 
 
 def decomposed_rel_pos_bias(q, rel_pos_h, rel_pos_w, hw: Tuple[int, int]):
@@ -102,19 +93,18 @@ class SamAttention(nn.Module):
         k = k.reshape(b, h * w, nh, hd)
         v = v.reshape(b, h * w, nh, hd)
 
-        bias = None
         if cfg.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * self.input_size - 1, hd), jnp.float32)
             rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                                (2 * self.input_size - 1, hd), jnp.float32)
-            # reference adds bias to (q * scale) @ k^T; our attention applies
-            # scale to logits, so pre-divide the bias-producing q by nothing:
-            # bias is added AFTER scaling there -- replicate by scaling bias
-            # computation with unscaled q and letting mha scale only q@k.
-            bias = decomposed_rel_pos_bias(q, rel_h, rel_w, (h, w))
-
-        out = multi_head_attention(q, k, v, bias=bias, impl="xla")
+            # bias is computed from the UNSCALED q and added after the
+            # q@k scaling (`image_encoder.py:310-315`); the fused kernel
+            # streams the decomposed bias instead of materializing S x S
+            from ..ops.sam_attention import sam_attention_with_relpos
+            out = sam_attention_with_relpos(q, k, v, rel_h, rel_w, (h, w))
+        else:
+            out = multi_head_attention(q, k, v, impl="xla")
         out = out.reshape(b, h, w, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 

@@ -1,0 +1,169 @@
+"""SAM ViTDet attention with decomposed rel-pos, fused on TPU.
+
+The reference adds decomposed relative-position bias by materializing the
+full (B*heads, S, S) attention matrix (`image_encoder.py:420-458`). The
+S x S bias itself decomposes as
+
+    bias[(qh, qw), (kh, kw)] = rel_h_term[(qh, qw), kh] + rel_w_term[(qh, qw), kw]
+
+with rel_h_term = einsum(q, Rh) of shape (S, grid_h) and rel_w_term likewise
+— tiny compared to S x S. The Pallas kernel streams kv blocks (block_k a
+multiple of the grid width) and reconstructs each bias block on the fly from
+those two small tensors with repeat/tile, so the S x S bias never touches
+HBM. Falls back to the XLA path off-TPU or for non-conforming shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def relpos_terms(q, rel_pos_h, rel_pos_w, hw: Tuple[int, int]):
+    """q: (B, S, H, D) unscaled -> (B, H, S, gh), (B, H, S, gw)."""
+    h, w = hw
+    b, s, nh, d = q.shape
+    from .sam_encoder_tables import gather_rel_tables  # lazy, avoids cycle
+    Rh, Rw = gather_rel_tables(rel_pos_h, rel_pos_w, h, w)
+    r_q = q.reshape(b, h, w, nh, d)
+    rel_h = jnp.einsum("bhwnc,hkc->bnhwk", r_q, Rh.astype(q.dtype))
+    rel_w = jnp.einsum("bhwnc,wkc->bnhwk", r_q, Rw.astype(q.dtype))
+    return (rel_h.reshape(b, nh, s, h), rel_w.reshape(b, nh, s, w))
+
+
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float,
+            block_k: int, grid_w: int, kv_len: int):
+    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
+    block_q, d = q.shape
+    rw = rw_ref[0].astype(jnp.float32)                # (bq, gw)
+    rows_per_block = block_k // grid_w
+
+    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, d), jnp.float32)
+
+    num_kv = kv_len // block_k
+
+    def body(ki, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        # bias block via 0/1 expansion matmuls (interleaving reshapes and
+        # lane-dim dynamic slices both crash Mosaic here; selector-matrix
+        # matmuls from iota comparisons ride the MXU instead):
+        #   bias_h = rh_blk^T @ E,  E[r, c] = [c // w == r]
+        #   bias_w = rw      @ T,   T[x, c] = [c %  w == x]
+        # rh comes in transposed (gh, bq) so the kv-row slice is on the
+        # SUBLANE dim (dynamic sublane slices are supported).
+        rh_blk = rh_ref[0, pl.ds(ki * rows_per_block, rows_per_block), :
+                        ].astype(jnp.float32)            # (rows, bq)
+        col = jax.lax.broadcasted_iota(jnp.int32,
+                                       (rows_per_block, block_k), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32,
+                                       (rows_per_block, block_k), 0)
+        expand_rows = (col // grid_w == row).astype(jnp.float32)
+        colw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, block_k), 1)
+        xw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, block_k), 0)
+        expand_cols = (colw % grid_w == xw).astype(jnp.float32)
+        bias_h = jax.lax.dot_general(
+            rh_blk, expand_rows,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, bk)
+        bias_w = jnp.dot(rw, expand_cols,
+                         preferred_element_type=jnp.float32)
+        s = s + bias_h + bias_w
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jnp.dot(p, v,
+                                       preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "block_q", "block_k"))
+def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term,
+                           hw: Tuple[int, int], block_q: int = 256,
+                           block_k: int = 256):
+    """q/k/v: (B, S, H, D); rel terms (B, H, S, gh/gw). Non-causal."""
+    b, s, nh, d = q.shape
+    gh, gw = hw
+    scale = 1.0 / math.sqrt(d)
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    assert s % block_q == 0 and s % block_k == 0 and block_k % gw == 0
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * nh, s, -1)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    # rel_h transposed to (B*, gh, S): the kernel slices kv rows on the
+    # sublane dim (lane-dim dynamic slices are unsupported)
+    rhf = rel_h_term.reshape(b * nh, s, gh).transpose(0, 2, 1)
+    rwf = rel_w_term.reshape(b * nh, s, gw)
+
+    kernel = functools.partial(_kernel, scale=scale, block_k=block_k,
+                               grid_w=gw, kv_len=s)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * nh, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gh, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, gw), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * nh, s, d), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qf, kf, vf, rhf, rwf)
+    return out.reshape(b, nh, s, d).transpose(0, 2, 1, 3)
+
+
+def sam_attention_with_relpos(q, k, v, rel_pos_h, rel_pos_w,
+                              hw: Tuple[int, int], impl: str = "auto"):
+    """Full SAM attention: q unscaled (B, S, H, D) -> (B, S, H, D).
+
+    impl "auto": fused pallas kernel when on TPU and shapes conform, else
+    the XLA bias-materializing path.
+    """
+    h, w = hw
+    s = q.shape[1]
+    conforming = (s == h * w and s % 128 == 0)
+    use_pallas = (impl == "pallas" or
+                  (impl == "auto" and jax.default_backend() == "tpu"
+                   and conforming))
+    if use_pallas:
+        rh, rw = relpos_terms(q, rel_pos_h, rel_pos_w, hw)
+        # pick block_k as a multiple of w that divides s
+        block_k = w
+        while block_k * 2 <= min(s, 512) and s % (block_k * 2) == 0:
+            block_k *= 2
+        block_q = block_k
+        return flash_attention_relpos(q, k, v, rh, rw, hw,
+                                      block_q=block_q, block_k=block_k)
+    # XLA fallback: materialized bias
+    from .attention import xla_attention
+    from ..models.sam_encoder import decomposed_rel_pos_bias
+    bias = decomposed_rel_pos_bias(q, rel_pos_h, rel_pos_w, hw)
+    return xla_attention(q, k, v, bias=bias, scale=1.0 / math.sqrt(
+        q.shape[-1]))

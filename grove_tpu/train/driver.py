@@ -85,6 +85,10 @@ def parse_args(args=None):
     p.add_argument("--auto_resume", action="store_true")
     p.add_argument("--val_mode", default="giou", choices=["loss", "giou"])
     p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="capture a jax.profiler trace of steps 2-4 here")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize LLM blocks (activation checkpointing)")
     return p.parse_args(args)
 
 
@@ -205,7 +209,7 @@ def main(args=None):
     dtype = jnp.float32 if args.model_size == "tiny" else jnp.bfloat16
     model, variables = init_grove_params(
         cfg, jax.random.PRNGKey(args.seed), dtype=dtype,
-        batch=args.batch_size)
+        batch=args.batch_size, remat=args.remat)
     params = variables["params"]
 
     if args.version and os.path.exists(args.version):
@@ -295,8 +299,13 @@ def main(args=None):
                 it = iter(loader)
                 batch, meta = next(it)
             dt.update(time.time() - t_end)
+            if args.profile_dir and global_step == 2:
+                jax.profiler.start_trace(args.profile_dir)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             params, opt_state, metrics = train_step(params, opt_state, jb)
+            if args.profile_dir and global_step == 4:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
             loss = float(metrics["loss"])
             for k, m in meters.items():
                 if k in metrics:

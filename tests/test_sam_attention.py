@@ -1,0 +1,62 @@
+"""Fused rel-pos flash attention == XLA bias-materializing path."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from grove_tpu.models.sam_encoder import decomposed_rel_pos_bias
+from grove_tpu.ops.attention import xla_attention
+from grove_tpu.ops.sam_attention import (flash_attention_relpos,
+                                         relpos_terms,
+                                         sam_attention_with_relpos)
+
+
+def _setup(rng, b=1, gh=16, gw=16, nh=2, d=8):
+    s = gh * gw
+    q = jnp.asarray(rng.normal(size=(b, s, nh, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, nh, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, nh, d)).astype(np.float32))
+    rel_h = jnp.asarray(rng.normal(size=(2 * gh - 1, d)).astype(np.float32))
+    rel_w = jnp.asarray(rng.normal(size=(2 * gw - 1, d)).astype(np.float32))
+    return q, k, v, rel_h, rel_w, (gh, gw)
+
+
+def test_relpos_terms_reconstruct_bias(rng):
+    q, k, v, rel_h, rel_w, hw = _setup(rng)
+    gh, gw = hw
+    bias = np.asarray(decomposed_rel_pos_bias(q, rel_h, rel_w, hw))
+    rh, rw = relpos_terms(q, rel_h, rel_w, hw)
+    rh, rw = np.asarray(rh), np.asarray(rw)
+    s = gh * gw
+    recon = np.zeros_like(bias)
+    for qi in range(s):
+        for kj in range(s):
+            recon[:, :, qi, kj] = (rh[:, :, qi, kj // gw]
+                                   + rw[:, :, qi, kj % gw])
+    np.testing.assert_allclose(recon, bias, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_kernel_matches_xla(rng):
+    q, k, v, rel_h, rel_w, hw = _setup(rng)
+    d = q.shape[-1]
+    bias = decomposed_rel_pos_bias(q, rel_h, rel_w, hw)
+    want = np.asarray(xla_attention(q, k, v, bias=bias,
+                                    scale=1.0 / math.sqrt(d)))
+    rh, rw = relpos_terms(q, rel_h, rel_w, hw)
+    got = np.asarray(flash_attention_relpos(q, k, v, rh, rw, hw,
+                                            block_q=64, block_k=64))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_dispatcher_fallback_matches(rng):
+    # non-conforming shape (s not multiple of 128) -> XLA path
+    q, k, v, rel_h, rel_w, hw = _setup(rng, gh=4, gw=4)
+    d = q.shape[-1]
+    out = sam_attention_with_relpos(q, k, v, rel_h, rel_w, hw)
+    bias = decomposed_rel_pos_bias(q, rel_h, rel_w, hw)
+    want = xla_attention(q, k, v, bias=bias, scale=1.0 / math.sqrt(d))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
