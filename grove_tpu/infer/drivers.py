@@ -213,31 +213,36 @@ def update_and_sort_video_outputs(gathered: List[Dict]) -> Dict:
 
 def run_inference(dataset, model, variables, cfg: GroveConfig, tokenizer,
                   *, max_new_tokens: int = 64, rank: int = 0, world: int = 1,
-                  progress: bool = True) -> Dict:
-    """Per-rank sliding-window inference over the dataset shard."""
+                  progress: bool = True, clip_batch: int = 4) -> Dict:
+    """Per-rank sliding-window inference over the dataset shard.
+
+    Clips are processed in groups of `clip_batch`: the fixed-prompt
+    center-window generation batches across the group (one device launch),
+    then each clip's remaining windows run in one batched pass."""
+    from .sliding import infer_clips_batched
     video_outputs: Dict[str, Dict] = {}
-    for i in range(rank, len(dataset), world):
+    my_indices = list(range(rank, len(dataset), world))
+    for g in range(0, len(my_indices), clip_batch):
         t0 = time.time()
-        sample = dataset[i]
-        out = infer_clip(model, variables, cfg, tokenizer,
-                         sample["frames_clip"], sample["frames_sam"],
-                         sample["original_size"],
-                         max_new_tokens=max_new_tokens)
-        uid = f"{sample['video_id']}_{sample['clip_id']}"
-        video_outputs[uid] = {
-            "pred_bboxes": out["bboxes"],
-            "pred_labels": out["labels_per_frame"],
-            "pred_phrases": out["phrases"],
-            "pred_text": out["text"],
-            "pred_text_tagged": out["text_tagged"],
-            "probs_temp_objectness": out["probs_temp_objectness"],
-            "original_size": out["original_size"],
-            "frame_indices": out["frame_indices"],
-        }
+        idxs = my_indices[g:g + clip_batch]
+        samples = [dataset[i] for i in idxs]
+        outs = infer_clips_batched(model, variables, cfg, tokenizer,
+                                   samples, max_new_tokens=max_new_tokens)
+        for sample, out in zip(samples, outs):
+            uid = f"{sample['video_id']}_{sample['clip_id']}"
+            video_outputs[uid] = {
+                "pred_bboxes": out["bboxes"],
+                "pred_labels": out["labels_per_frame"],
+                "pred_phrases": out["phrases"],
+                "pred_text": out["text"],
+                "pred_text_tagged": out["text_tagged"],
+                "probs_temp_objectness": out["probs_temp_objectness"],
+                "original_size": out["original_size"],
+                "frame_indices": out["frame_indices"],
+            }
         if progress:
-            print(f"[{rank}] clip {uid}: {len(out['frame_indices'])} frames "
-                  f"in {time.time() - t0:.1f}s -> '{out['text'][:60]}'",
-                  flush=True)
+            print(f"[{rank}] clips {[s['video_id'] for s in samples]}: "
+                  f"{time.time() - t0:.1f}s", flush=True)
     return video_outputs
 
 

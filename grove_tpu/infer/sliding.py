@@ -93,16 +93,19 @@ def ground_clip_with_caption(model: GroveModel, variables, cfg: GroveConfig,
     answer = f"<p> {caption.strip()} </p> [DET]"
     prompt = grounding_prompt(question=question, answer=answer)
     ids = tokenize_with_video(prompt, tokenizer)
+    spliced = len(ids) - 1 + cfg.num_video_tokens
     ap = pack_text(ids, None, tokenizer,
                    num_video_tokens=cfg.num_video_tokens,
-                   max_spliced_len=len(ids) - 1 + cfg.num_video_tokens,
+                   max_spliced_len=-(-spliced // 64) * 64,
                    det_token_id=cfg.tokens.det,
                    max_phrases=cfg.max_phrases,
                    pad_id=tokenizer.pad_token_id, with_labels=False)
     num_dets = int(ap.phrase_mask.sum())
 
-    live = [(w, m) for w, m in zip(windows, masks) if any(m)]
-    nw = len(live)
+    live_real = [(w, m) for w, m in zip(windows, masks) if any(m)]
+    nw_real = len(live_real)
+    nw = _next_pow2(nw_real)
+    live = live_real + [live_real[0]] * (nw - nw_real)
     batch = {
         "frames_clip": jnp.asarray(np.stack(
             [frames_clip_all[w] for w, _ in live])),
@@ -122,7 +125,7 @@ def ground_clip_with_caption(model: GroveModel, variables, cfg: GroveConfig,
           else None)
 
     all_boxes, all_probs, seen_order = [], [], []
-    for wi, (w, m) in enumerate(live):
+    for wi, (w, m) in enumerate(live_real):
         wb, _, wp = postprocess_window(pb[wi],
                                        ob[wi] if ob is not None else None,
                                        [caption], num_dets, original_size,
@@ -188,9 +191,27 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
                                if gen["objectness_logits"] is not None
                                else None),
         phrases, num_dets, original_size, threshold)
-    seen_order = list(center)
 
     # ---- other windows: one batched teacher-forced pass ----
+    return _finish_clip(model, variables, cfg, tokenizer, frames_clip_all,
+                        frames_sam_all, original_size, windows, masks, ci,
+                        center, text_output, parsed, phrases, num_dets,
+                        threshold, instruction,
+                        all_bboxes, all_labels, all_probs)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _finish_clip(model, variables, cfg, tokenizer, frames_clip_all,
+                 frames_sam_all, original_size, windows, masks, ci, center,
+                 text_output, parsed, phrases, num_dets, threshold,
+                 instruction, all_bboxes, all_labels, all_probs):
+    seen_order = list(center)
     other = [(j, w, m) for j, (w, m) in enumerate(zip(windows, masks))
              if j != ci and any(m)]
     if other and num_dets == 0:
@@ -207,19 +228,27 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
         answer_prompt = grounding_prompt(question=instruction,
                                          answer=text_output)
         ans_ids = tokenize_with_video(answer_prompt, tokenizer)
+        # bucket the spliced length to multiples of 64: trailing pads are
+        # causally inert, and bucketing caps recompiles across caption
+        # lengths
+        spliced = len(ans_ids) - 1 + cfg.num_video_tokens
+        bucketed = -(-spliced // 64) * 64
         ap = pack_text(ans_ids, None, tokenizer,
                        num_video_tokens=cfg.num_video_tokens,
-                       max_spliced_len=len(ans_ids) - 1
-                       + cfg.num_video_tokens,
+                       max_spliced_len=bucketed,
                        det_token_id=cfg.tokens.det,
                        max_phrases=cfg.max_phrases,
                        pad_id=tokenizer.pad_token_id, with_labels=False)
-        nw = len(other)
+        # pad the window batch to the next power of two so distinct clip
+        # lengths reuse a handful of compiled shapes
+        nw_real = len(other)
+        nw = _next_pow2(nw_real)
+        padded = other + [other[0]] * (nw - nw_real)
         batch = {
             "frames_clip": jnp.asarray(np.stack(
-                [frames_clip_all[w] for _, w, _ in other])),
+                [frames_clip_all[w] for _, w, _ in padded])),
             "frames_sam": jnp.asarray(np.stack(
-                [frames_sam_all[w] for _, w, _ in other])),
+                [frames_sam_all[w] for _, w, _ in padded])),
             "input_ids": jnp.asarray(np.tile(ap.input_ids[None], (nw, 1))),
             "video_start": jnp.full((nw,), int(ap.video_start), jnp.int32),
             "det_positions": jnp.asarray(
@@ -255,3 +284,73 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
         "probs_temp_objectness": [all_probs[i] for i in order],
         "original_size": tuple(original_size),
     }
+
+
+def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
+                        tokenizer, samples, *,
+                        instruction: Optional[str] = None,
+                        max_new_tokens: int = 64,
+                        threshold: Optional[float] = None):
+    """Batched variant of `infer_clip` over several clips.
+
+    The iGround instruction prompt is FIXED (`infer_iground.py:62-85`), so
+    the expensive center-window generation (encoders + prefill + 64-step
+    decode) batches trivially across clips — one device launch for the whole
+    group. The per-clip teacher-forced window passes then run as in
+    `infer_clip`. Returns a list of per-clip output dicts.
+    """
+    threshold = (threshold if threshold is not None
+                 else cfg.temp_objectness_threshold)
+    nf = cfg.num_frames
+    metas = []
+    fc_centers, fs_centers = [], []
+    for s in samples:
+        t_total = s["frames_clip"].shape[0]
+        windows, masks = sliding_segment_with_mask(t_total, nf)
+        ci = center_window_index(masks)
+        center = windows[ci]
+        metas.append((windows, masks, ci, center))
+        fc_centers.append(s["frames_clip"][center])
+        fs_centers.append(s["frames_sam"][center])
+
+    prompt = grounding_prompt(question=instruction)
+    prompt_ids = tokenize_with_video(prompt, tokenizer)
+    packed = pack_text(prompt_ids, None, tokenizer,
+                       num_video_tokens=cfg.num_video_tokens,
+                       max_spliced_len=len(prompt_ids) - 1
+                       + cfg.num_video_tokens,
+                       det_token_id=cfg.tokens.det,
+                       max_phrases=cfg.max_phrases,
+                       pad_id=tokenizer.pad_token_id, with_labels=False)
+
+    b = len(samples)
+    gen = generate_grounded(
+        model, variables, cfg, tokenizer,
+        np.tile(packed.input_ids[None], (b, 1)),
+        np.full((b,), int(packed.video_start), np.int32),
+        jnp.asarray(np.stack(fc_centers)), jnp.asarray(np.stack(fs_centers)),
+        max_new_tokens=max_new_tokens)
+
+    outputs = []
+    for i, (s, (windows, masks, ci, center)) in enumerate(zip(samples,
+                                                              metas)):
+        gen_ids = [int(t) for t in gen["generated_ids"][i]
+                   if t != cfg.tokens.pad]
+        raw_text = tokenizer.decode(gen_ids, skip_special_tokens=False)
+        text_output = raw_text.replace("\n", "").replace("  ", " ")
+        if "ASSISTANT: " in text_output:
+            text_output = text_output.split("ASSISTANT: ")[-1]
+        parsed = tagging.parse_generation(text_output)
+        phrases = parsed["phrases"]
+        num_dets = int(gen["phrase_mask"][i].sum())
+        all_bboxes, all_labels, all_probs = postprocess_window(
+            gen["pred_boxes"][i],
+            (gen["objectness_logits"][i]
+             if gen["objectness_logits"] is not None else None),
+            phrases, num_dets, s["original_size"], threshold)
+        outputs.append(_finish_clip(
+            model, variables, cfg, tokenizer, s["frames_clip"],
+            s["frames_sam"], s["original_size"], windows, masks, ci, center,
+            text_output, parsed, phrases, num_dets, threshold, instruction,
+            all_bboxes, all_labels, all_probs))
+    return outputs
