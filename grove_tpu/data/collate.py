@@ -59,6 +59,8 @@ def build_batch(samples: Sequence[Dict], tokenizer, cfg: GroveConfig,
     batch = {
         "frames_clip": np.stack([s["frames_clip"] for s in samples]),
         "frames_sam": np.stack([s["frames_sam"] for s in samples]),
+        **({"sam_valid_hw": np.stack([s["sam_valid_hw"] for s in samples])}
+           if "sam_valid_hw" in samples[0] else {}),
         "input_ids": np.stack([p.input_ids for p in packed]),
         "video_start": np.stack([p.video_start for p in packed]),
         "labels": np.stack([p.labels for p in packed]),

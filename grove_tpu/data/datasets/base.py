@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ...ops import boxes as box_np  # jnp funcs accept numpy too
-from ..preprocess import preprocess_frames
+from ..preprocess import preprocess_frames, preprocess_frames_uint8
 from ..sampling import sparse_sample
 
 _TAG_RE = re.compile(r"<.*?>")
@@ -141,12 +141,15 @@ class GroundingVideoDataset:
 
         with self.decoder_factory(ann.video_path) as dec:
             frames = dec.decode_at(ts[idx])
-        clip_frames, sam_frames = preprocess_frames(
+        # frames stay uint8 on the host; the model normalizes on device
+        # (4x less host->device traffic than float32)
+        clip_frames, sam_frames, sam_valid = preprocess_frames_uint8(
             frames, self.clip_size, self.sam_size)
         gt_boxes, gt_obj = dense_ground_truth(ann, idx, self.max_phrases)
         return {
             "frames_clip": clip_frames,
             "frames_sam": sam_frames,
+            "sam_valid_hw": sam_valid,
             "gt_boxes": gt_boxes,
             "gt_objectness": gt_obj,
             "caption": ann.caption,

@@ -57,3 +57,50 @@ def preprocess_frames(frames: np.ndarray, clip_size: int = 336,
     clip = np.stack([clip_preprocess(f, clip_size) for f in frames])
     sam = np.stack([sam_preprocess(f, sam_size) for f in frames])
     return clip, sam
+
+
+# ---------------------------------------------------------------------------
+# uint8 variants: geometry on the host, normalization on the device.
+# Host->device bandwidth is the input-pipeline bottleneck (uint8 is 4x
+# smaller than float32); the model normalizes uint8 inputs in-graph
+# (`grove_tpu.models.grove.GroveModel._norm_*`).
+# ---------------------------------------------------------------------------
+
+def clip_resize_uint8(frame: np.ndarray, size: int = 336) -> np.ndarray:
+    """Resize + center crop only; returns uint8 (size, size, 3)."""
+    img = Image.fromarray(frame)
+    w, h = img.size
+    scale = size / min(w, h)
+    new_w, new_h = round(w * scale), round(h * scale)
+    img = img.resize((new_w, new_h), Image.BICUBIC)
+    left = (new_w - size) // 2
+    top = (new_h - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img, np.uint8)
+
+
+def sam_resize_uint8(frame: np.ndarray, size: int = 512) -> np.ndarray:
+    """ResizeLongestSide + zero pad only; returns uint8 (size, size, 3)."""
+    h, w = frame.shape[:2]
+    scale = size / max(h, w)
+    new_h, new_w = int(h * scale + 0.5), int(w * scale + 0.5)
+    img = Image.fromarray(frame).resize((new_w, new_h), Image.BILINEAR)
+    out = np.zeros((size, size, 3), np.uint8)
+    out[:new_h, :new_w] = np.asarray(img, np.uint8)
+    return out
+
+
+def preprocess_frames_uint8(frames: np.ndarray, clip_size: int = 336,
+                            sam_size: int = 512):
+    """(T, H, W, 3) uint8 -> uint8 (clip, sam) frames + sam valid (h, w).
+
+    SAM parity note: the reference normalizes BEFORE zero-padding, so pad
+    pixels are exactly 0 post-normalization. The device normalizer uses the
+    returned (valid_h, valid_w) to zero the pad region after normalizing.
+    """
+    clip = np.stack([clip_resize_uint8(f, clip_size) for f in frames])
+    sam = np.stack([sam_resize_uint8(f, sam_size) for f in frames])
+    h, w = frames.shape[1:3]
+    scale = sam_size / max(h, w)
+    valid = np.array([int(h * scale + 0.5), int(w * scale + 0.5)], np.int32)
+    return clip, sam, valid

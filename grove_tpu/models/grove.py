@@ -81,6 +81,33 @@ class GroveModel(nn.Module):
     # encoders
     # ------------------------------------------------------------------
 
+    def _norm_clip(self, frames):
+        """Device-side CLIP normalization for uint8 inputs (host->device
+        bandwidth is the pipeline bottleneck; uint8 is 4x smaller)."""
+        if frames.dtype != jnp.uint8:
+            return frames
+        from ..data.preprocess import CLIP_MEAN, CLIP_STD
+        xf = frames.astype(self.dtype) / 255.0
+        return ((xf - jnp.asarray(CLIP_MEAN, self.dtype))
+                / jnp.asarray(CLIP_STD, self.dtype))
+
+    def _norm_sam(self, frames, valid_hw=None):
+        """Device-side SAM normalization; pad region re-zeroed to match the
+        reference's normalize-then-pad order (`HowTo100M.py:168-178`)."""
+        if frames.dtype != jnp.uint8:
+            return frames
+        from ..data.preprocess import SAM_MEAN, SAM_STD
+        xf = ((frames.astype(self.dtype) - jnp.asarray(SAM_MEAN, self.dtype))
+              / jnp.asarray(SAM_STD, self.dtype))
+        if valid_hw is not None:
+            b, t, hh, ww, _ = xf.shape
+            rows = jnp.arange(hh)[None, None, :, None]
+            cols = jnp.arange(ww)[None, None, None, :]
+            mask = ((rows < valid_hw[:, 0][:, None, None, None])
+                    & (cols < valid_hw[:, 1][:, None, None, None]))
+            xf = jnp.where(mask[..., None], xf, 0.0)
+        return xf
+
     def encode_video(self, frames_clip):
         """CLIP tower + mm_projector -> (B, N_video, hidden).
 
@@ -88,16 +115,17 @@ class GroveModel(nn.Module):
         (@torch.no_grad on `clip_encoder.py:55`); gradients flow only into
         the projector. Adapter training would lift the stop_gradient.
         """
-        tokens, mlvl = self.clip_tower(frames_clip)
+        tokens, mlvl = self.clip_tower(self._norm_clip(frames_clip))
         tokens = jax.lax.stop_gradient(tokens)
         x = self.mm_projector_0(tokens)
         x = nn.gelu(x, approximate=False)
         x = self.mm_projector_2(x)
         return x, mlvl
 
-    def encode_grounding(self, frames_sam):
+    def encode_grounding(self, frames_sam, valid_hw=None):
         """SAM encoder -> (B*T, HW, C_dec) flattened frame embeddings."""
-        feat = self.grounding_encoder(frames_sam)      # (B*T, g, g, C)
+        feat = self.grounding_encoder(
+            self._norm_sam(frames_sam, valid_hw))      # (B*T, g, g, C)
         bt, g, _, c = feat.shape
         return feat.reshape(bt, g * g, c)
 
@@ -225,7 +253,8 @@ class GroveModel(nn.Module):
         """Training forward -> loss dict (reference model_forward train path)."""
         cfg = self.cfg
         video_embeds, _ = self.encode_video(batch["frames_clip"])
-        image_embeddings = self.encode_grounding(batch["frames_sam"])
+        image_embeddings = self.encode_grounding(
+            batch["frames_sam"], batch.get("sam_valid_hw"))
         hidden, logits = self.lm_forward(
             batch["input_ids"], video_embeds, batch["video_start"])
         boxes, obj = self.ground(hidden, batch["det_positions"],
@@ -254,7 +283,8 @@ class GroveModel(nn.Module):
         (reference model_forward(inference=True)); unnormalization and
         objectness thresholding are host-side postprocessing."""
         video_embeds, _ = self.encode_video(batch["frames_clip"])
-        image_embeddings = self.encode_grounding(batch["frames_sam"])
+        image_embeddings = self.encode_grounding(
+            batch["frames_sam"], batch.get("sam_valid_hw"))
         hidden, _ = self.lm_forward(
             batch["input_ids"], video_embeds, batch["video_start"])
         boxes, obj = self.ground(hidden, batch["det_positions"],

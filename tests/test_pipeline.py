@@ -80,3 +80,31 @@ def test_batch_and_train_forward(synth_root):
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
     out = model.apply(variables, jbatch, method=GroveModel.forward_train)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_uint8_device_normalization_matches_host(synth_root):
+    """uint8 frames + on-device normalization == float host preprocessing."""
+    import jax
+    from grove_tpu.data.preprocess import (preprocess_frames,
+                                           preprocess_frames_uint8)
+    from grove_tpu.data.video import VideoDecoder
+    cfg = GroveConfig.tiny()
+    ann_dir, video_dir, keys = synth_root
+    ds = _dataset(synth_root, cfg, validation=True)
+    ann = ds.load_annotation(0)
+    with VideoDecoder(ann.video_path) as dec:
+        frames = dec.decode_at([0.0, 0.4])
+    f_clip, f_sam = preprocess_frames(frames, cfg.clip.image_size,
+                                      cfg.sam_enc.img_size)
+    u_clip, u_sam, valid = preprocess_frames_uint8(
+        frames, cfg.clip.image_size, cfg.sam_enc.img_size)
+
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.float32)
+    nc = model.apply(variables, jnp.asarray(u_clip[None]),
+                     method=GroveModel._norm_clip)
+    np.testing.assert_allclose(np.asarray(nc)[0], f_clip, atol=1e-5)
+    ns = model.apply(variables, jnp.asarray(u_sam[None]),
+                     jnp.asarray(valid[None]),
+                     method=GroveModel._norm_sam)
+    np.testing.assert_allclose(np.asarray(ns)[0], f_sam, atol=1e-5)
