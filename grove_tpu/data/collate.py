@@ -37,14 +37,15 @@ def conversation_for_sample(sample: Dict, rng: Optional[np.random.Generator],
 def build_batch(samples: Sequence[Dict], tokenizer, cfg: GroveConfig,
                 rng: Optional[np.random.Generator] = None,
                 with_labels: bool = True,
-                conversations: Optional[List[str]] = None
+                conversations: Optional[List[str]] = None,
+                question_templates=VIDEO_GROUNDING_QUESTIONS,
                 ) -> Dict[str, np.ndarray]:
     """Stack samples into the static batch consumed by GroveModel."""
     max_len = cfg.max_seq_len + cfg.splice_offset
     packed, convs = [], []
     for i, s in enumerate(samples):
         conv = (conversations[i] if conversations is not None
-                else conversation_for_sample(s, rng))
+                else conversation_for_sample(s, rng, question_templates))
         ids = tokenize_with_video(conv, tokenizer)
         p = pack_text(ids, conv, tokenizer,
                       num_video_tokens=cfg.num_video_tokens,

@@ -27,7 +27,11 @@ class GroundingLoader:
                  num_workers: int = 4, seed: int = 0,
                  with_labels: bool = True, drop_last: bool = True,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 question_templates=None):
+        from ..text.prompts import VIDEO_GROUNDING_QUESTIONS
+        self.question_templates = (question_templates
+                                   or VIDEO_GROUNDING_QUESTIONS)
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.cfg = cfg
@@ -92,4 +96,5 @@ class GroundingLoader:
                 submit_next()
                 samples = [f.result() for f in futs]
                 yield build_batch(samples, self.tokenizer, self.cfg, rng,
-                                  with_labels=self.with_labels)
+                                  with_labels=self.with_labels,
+                                  question_templates=self.question_templates)

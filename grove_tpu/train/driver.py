@@ -54,7 +54,13 @@ def parse_args(args=None):
     p.add_argument("--giou_loss_weight", default=1.0, type=float)
     p.add_argument("--temp_objectness_loss_weight", default=1.0, type=float)
     # data
-    p.add_argument("--dataset", default="HowToGround")
+    p.add_argument("--dataset", default="HowToGround",
+                   choices=["HowToGround", "VidSTG", "ActivityNetEntities"])
+    p.add_argument("--frame_timestamps", default=None,
+                   help="frame-timestamps json for ActivityNetEntities")
+    p.add_argument("--max_restarts", default=0, type=int,
+                   help="in-process elastic restarts on failure "
+                        "(torchrun --max_restarts equivalent)")
     p.add_argument("--ann_dir", default=None)
     p.add_argument("--video_dir", default=None)
     p.add_argument("--val_ann_dir", default=None)
@@ -107,6 +113,11 @@ def build_config(args) -> GroveConfig:
     if getattr(args, "lora_r", 0):
         overrides["llama"] = dataclasses.replace(
             cfg.llama, lora_r=args.lora_r, lora_alpha=args.lora_alpha)
+    # objectness head only trains on HowToGround (`train.py:205`)
+    if getattr(args, "dataset", "HowToGround") != "HowToGround":
+        overrides["use_temp_objectness"] = False
+        overrides["sam_dec"] = dataclasses.replace(
+            cfg.sam_dec, use_temp_objectness=False)
     return dataclasses.replace(cfg, **overrides)
 
 
@@ -127,25 +138,57 @@ def build_tokenizer(args, cfg):
 def build_datasets(args, cfg):
     if args.synthetic:
         import tempfile
-        from ..data.synthetic import make_synthetic_howto_dataset
         root = tempfile.mkdtemp(prefix="grove_synth_")
-        ann_dir, video_dir, keys = make_synthetic_howto_dataset(
-            root, num_videos=max(4, args.batch_size * 2))
-        args.ann_dir, args.video_dir = ann_dir, video_dir
-        args.val_ann_dir, args.val_video_dir = ann_dir, video_dir
-    from ..data.datasets.howto100m import HowTo100MDataset
+        if args.dataset == "VidSTG":
+            from ..data.synthetic import make_synthetic_vidstg
+            ann, video_dir = make_synthetic_vidstg(
+                root, num_videos=max(4, args.batch_size * 2))
+            args.ann_dir = args.val_ann_dir = ann
+        else:
+            from ..data.synthetic import make_synthetic_howto_dataset
+            ann, video_dir, _ = make_synthetic_howto_dataset(
+                root, num_videos=max(4, args.batch_size * 2))
+            args.ann_dir = args.val_ann_dir = ann
+            args.dataset = "HowToGround"
+        args.video_dir = args.val_video_dir = video_dir
     common = dict(decoder_factory=VideoDecoder, num_frames=cfg.num_frames,
                   clip_size=cfg.clip.image_size,
                   sam_size=cfg.sam_enc.img_size,
                   max_phrases=cfg.max_phrases)
-    train_ds = HowTo100MDataset(ann_dir=args.ann_dir,
-                                video_dir=args.video_dir,
-                                validation=False, **common)
-    val_ds = None
-    if args.val_ann_dir:
-        val_ds = HowTo100MDataset(ann_dir=args.val_ann_dir,
-                                  video_dir=args.val_video_dir,
-                                  validation=True, **common)
+    if args.dataset == "VidSTG":
+        from ..data.datasets.vidstg import VidSTGDataset
+        train_ds = VidSTGDataset(ann_path=args.ann_dir,
+                                 video_dir=args.video_dir,
+                                 validation=False, **common)
+        val_ds = (VidSTGDataset(ann_path=args.val_ann_dir,
+                                video_dir=args.val_video_dir,
+                                validation=True, **common)
+                  if args.val_ann_dir else None)
+    elif args.dataset == "ActivityNetEntities":
+        import json
+        from ..data.datasets.anet_entities import ActivityNetEntitiesDataset
+        with open(args.frame_timestamps) as f:
+            fts = json.load(f)
+        anet_common = dict(frame_timestamps=fts,
+                           decoder_factory=VideoDecoder,
+                           num_frames=cfg.num_frames,
+                           clip_size=cfg.clip.image_size,
+                           sam_size=cfg.sam_enc.img_size,
+                           max_phrases=cfg.max_phrases)
+        train_ds = ActivityNetEntitiesDataset(
+            args.ann_dir, args.video_dir, validation=False, **anet_common)
+        val_ds = (ActivityNetEntitiesDataset(
+            args.val_ann_dir, args.val_video_dir, validation=True,
+            **anet_common) if args.val_ann_dir else None)
+    else:
+        from ..data.datasets.howto100m import HowTo100MDataset
+        train_ds = HowTo100MDataset(ann_dir=args.ann_dir,
+                                    video_dir=args.video_dir,
+                                    validation=False, **common)
+        val_ds = (HowTo100MDataset(ann_dir=args.val_ann_dir,
+                                   video_dir=args.val_video_dir,
+                                   validation=True, **common)
+                  if args.val_ann_dir else None)
     return train_ds, val_ds
 
 
@@ -176,7 +219,8 @@ def validate(model, params, loader, cfg, args):
             continue
         out = val_boxes(params, jb)
         pred = np.asarray(out["pred_boxes"], np.float32)
-        obj_logits = np.asarray(out["objectness_logits"], np.float32)
+        obj_logits = (np.asarray(out["objectness_logits"], np.float32)
+                      if out["objectness_logits"] is not None else None)
         gt = batch["gt_boxes"]
         gt_obj = batch["gt_objectness"]
         pm = batch["phrase_mask"][:, None, :]
@@ -185,10 +229,11 @@ def validate(model, params, loader, cfg, args):
             g = np.asarray(generalized_box_iou(
                 box_cxcywh_to_xyxy(pred[mask]), box_cxcywh_to_xyxy(gt[mask])))
             giou_m.update(float(g.mean()), int(mask.sum()))
-        vm = np.broadcast_to(pm, gt_obj.shape).astype(bool)
-        pred_obj = (obj_logits > 0)[vm]
-        acc_m.update(float((pred_obj == gt_obj[vm].astype(bool)).mean()),
-                     int(vm.sum()))
+        if obj_logits is not None:
+            vm = np.broadcast_to(pm, gt_obj.shape).astype(bool)
+            pred_obj = (obj_logits > 0)[vm]
+            acc_m.update(float((pred_obj == gt_obj[vm].astype(bool)).mean()),
+                         int(vm.sum()))
     for m in (giou_m, acc_m, loss_m):
         m.all_reduce()
     if args.val_mode == "loss":
@@ -197,8 +242,7 @@ def validate(model, params, loader, cfg, args):
             "key_metric": giou_m.avg}
 
 
-def main(args=None):
-    args = parse_args(args)
+def _run(args):
     np.random.seed(args.seed)
 
     cfg = build_config(args)
@@ -266,15 +310,21 @@ def main(args=None):
             start_epoch = latest // args.steps_per_epoch
             print(f"resumed from step {latest} (epoch {start_epoch})")
 
+    from ..text.prompts import (VIDEO_GROUNDING_QUESTIONS,
+                                VIDEO_STG_QUESTIONS)
+    qts = (VIDEO_STG_QUESTIONS if args.dataset == "VidSTG"
+           else VIDEO_GROUNDING_QUESTIONS)
     loader = GroundingLoader(train_ds, tokenizer, cfg,
                              batch_size=args.batch_size,
-                             num_workers=args.num_workers, seed=args.seed)
+                             num_workers=args.num_workers, seed=args.seed,
+                             question_templates=qts)
     val_loader = None
     if val_ds is not None:
         val_loader = GroundingLoader(val_ds, tokenizer, cfg,
                                      batch_size=args.batch_size,
                                      shuffle=False, drop_last=False,
-                                     num_workers=args.num_workers)
+                                     num_workers=args.num_workers,
+                                     question_templates=qts)
 
     best_metric = ckpt.best_metric_from_marker() or -1e9
     global_step = start_epoch * args.steps_per_epoch
@@ -345,6 +395,26 @@ def main(args=None):
         writer.close()
     print(f"training done: {global_step} steps, best={best_metric:.4f}")
     return best_metric
+
+
+def main(args=None):
+    """Entry with in-process elastic restarts (reference torchrun
+    `--max_restarts`, `train_scripts/train_howtoground.sh:21-29`)."""
+    parsed = parse_args(args)
+    attempt = 0
+    while True:
+        try:
+            return _run(parsed)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            if attempt >= parsed.max_restarts:
+                raise
+            attempt += 1
+            print(f"training failed ({type(e).__name__}: {e}); "
+                  f"restart {attempt}/{parsed.max_restarts} with "
+                  f"auto_resume", flush=True)
+            parsed.auto_resume = True
 
 
 if __name__ == "__main__":
