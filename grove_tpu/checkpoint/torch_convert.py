@@ -40,6 +40,11 @@ def _conv3d(x):
     return np.ascontiguousarray(np.transpose(np.asarray(x), (2, 3, 4, 1, 0)))
 
 
+def _convT2d(x):
+    # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)
+    return np.ascontiguousarray(np.transpose(np.asarray(x), (2, 3, 0, 1)))
+
+
 def _ident(x):
     return np.asarray(x)
 
@@ -221,6 +226,40 @@ def _rules(cfg: GroveConfig) -> List[Tuple[str, str, object]]:
          lambda m: ("region_encoder/roi_align/updims/"
                     + ("kernel" if m.group(1) == "weight" else "bias")),
          _GENERIC),
+        # ---- legacy SAM mask path ----
+        (r"^model\.grounding_encoder\.mask_decoder\.output_upscaling\.0\."
+         r"(weight|bias)$",
+         lambda m: ("mask_decoder/output_upscaling_0/"
+                    + ("kernel" if m.group(1) == "weight" else "bias")),
+         lambda x: _convT2d(x) if x.ndim == 4 else _ident(x)),
+        (r"^model\.grounding_encoder\.mask_decoder\.output_upscaling\.1\."
+         r"(weight|bias)$",
+         lambda m: "mask_decoder/output_upscaling_1/" + m.group(1), _ident),
+        (r"^model\.grounding_encoder\.mask_decoder\.output_upscaling\.3\."
+         r"(weight|bias)$",
+         lambda m: ("mask_decoder/output_upscaling_3/"
+                    + ("kernel" if m.group(1) == "weight" else "bias")),
+         lambda x: _convT2d(x) if x.ndim == 4 else _ident(x)),
+        (r"^model\.grounding_encoder\.mask_decoder\."
+         r"output_hypernetworks_mlps\.(\d+)\.layers\.(\d+)\.(weight|bias)$",
+         lambda m: (f"mask_decoder/output_hypernetworks_mlps_{m.group(1)}/"
+                    f"layers_{m.group(2)}/"
+                    + ("kernel" if m.group(3) == "weight" else "bias")),
+         _GENERIC),
+        (r"^model\.grounding_encoder\.mask_decoder\.iou_prediction_head\."
+         r"layers\.(\d+)\.(weight|bias)$",
+         lambda m: (f"mask_decoder/iou_prediction_head/layers_{m.group(1)}/"
+                    + ("kernel" if m.group(2) == "weight" else "bias")),
+         _GENERIC),
+        (r"^model\.grounding_encoder\.prompt_encoder\.mask_downscaling\."
+         r"([036])\.(weight|bias)$",
+         lambda m: (f"prompt_encoder/mask_down_{m.group(1)}/"
+                    + ("kernel" if m.group(2) == "weight" else "bias")),
+         lambda x: _conv2d(x) if x.ndim == 4 else _ident(x)),
+        (r"^model\.grounding_encoder\.prompt_encoder\.mask_downscaling\."
+         r"([14])\.(weight|bias)$",
+         lambda m: f"prompt_encoder/mask_down_{m.group(1)}/{m.group(2)}",
+         _ident),
         # ---- prompt encoder ----
         (r"^model\.grounding_encoder\.prompt_encoder\.pe_layer\."
          r"positional_encoding_gaussian_matrix$",
@@ -289,10 +328,6 @@ def _rules(cfg: GroveConfig) -> List[Tuple[str, str, object]]:
 # current flax model (legacy SAM mask path, dormant region encoder, SAM
 # original-`Sam` extras); they are skipped silently.
 SKIP_PATTERNS = (
-    r"mask_decoder\.output_upscaling",
-    r"mask_decoder\.output_hypernetworks_mlps",
-    r"mask_decoder\.iou_prediction_head",
-    r"prompt_encoder\.mask_downscaling",
     r"vision_model\.post_layernorm",
     r"rotary_emb\.inv_freq",
 )
@@ -570,6 +605,36 @@ def to_torch_state_dict(params, cfg: GroveConfig) -> Dict[str, np.ndarray]:
             suffix = "weight" if m.group(2) == "kernel" else "bias"
             val = _inv_linear(v) if m.group(2) == "kernel" else v
             put(f"model.region_encoder.roi_align.{m.group(1)}.{suffix}", val)
+        elif ms(r"^mask_decoder/output_upscaling_([03])/(kernel|bias)$"):
+            suffix = "weight" if m.group(2) == "kernel" else "bias"
+            val = (np.ascontiguousarray(np.transpose(v, (2, 3, 0, 1)))
+                   if v.ndim == 4 else v)
+            put(f"model.grounding_encoder.mask_decoder.output_upscaling."
+                f"{m.group(1)}.{suffix}", val)
+        elif ms(r"^mask_decoder/output_upscaling_1/(weight|bias)$"):
+            put(f"model.grounding_encoder.mask_decoder.output_upscaling.1."
+                f"{m.group(1)}", v)
+        elif ms(r"^mask_decoder/output_hypernetworks_mlps_(\d+)/"
+                r"layers_(\d+)/(kernel|bias)$"):
+            suffix = "weight" if m.group(3) == "kernel" else "bias"
+            val = _inv_linear(v) if m.group(3) == "kernel" else v
+            put(f"model.grounding_encoder.mask_decoder."
+                f"output_hypernetworks_mlps.{m.group(1)}.layers."
+                f"{m.group(2)}.{suffix}", val)
+        elif ms(r"^mask_decoder/iou_prediction_head/layers_(\d+)/"
+                r"(kernel|bias)$"):
+            suffix = "weight" if m.group(2) == "kernel" else "bias"
+            val = _inv_linear(v) if m.group(2) == "kernel" else v
+            put(f"model.grounding_encoder.mask_decoder.iou_prediction_head."
+                f"layers.{m.group(1)}.{suffix}", val)
+        elif ms(r"^prompt_encoder/mask_down_([036])/(kernel|bias)$"):
+            suffix = "weight" if m.group(2) == "kernel" else "bias"
+            val = _inv_conv2d(v) if v.ndim == 4 else v
+            put(f"model.grounding_encoder.prompt_encoder.mask_downscaling."
+                f"{m.group(1)}.{suffix}", val)
+        elif ms(r"^prompt_encoder/mask_down_([14])/(weight|bias)$"):
+            put(f"model.grounding_encoder.prompt_encoder.mask_downscaling."
+                f"{m.group(1)}.{m.group(2)}", v)
         elif ms(r"^prompt_encoder/pe_layer/"
                 r"positional_encoding_gaussian_matrix$"):
             put("model.grounding_encoder.prompt_encoder.pe_layer."

@@ -267,15 +267,44 @@ class GroveModel(nn.Module):
             use_temp_objectness=cfg.use_temp_objectness,
             ignore_index=cfg.tokens.ignore_index)
 
+    def segment(self, image_embeddings, *, points=None, point_labels=None,
+                boxes=None, mask_inputs=None, multimask_output=False):
+        """SAM-style promptable segmentation (the reference's legacy mask
+        path, `mask_decoder.py:206-227` + `sam.py:56-137`).
+
+        image_embeddings: (N, HW, C) from encode_grounding; prompts are
+        per-instance. Returns (masks (N, M, 4g, 4g) logits, iou_pred (N, M)).
+        """
+        n = image_embeddings.shape[0]
+        sparse, dense = self.prompt_encoder(
+            points=points, point_labels=point_labels, boxes=boxes,
+            masks=mask_inputs)
+        inst2img = jnp.arange(n)
+        image_pe = self.dense_pe()
+        return self.box_decoder.predict_masks(
+            image_embeddings, image_pe, sparse, dense, inst2img,
+            multimask_output=multimask_output)
+
     def init_all(self, batch: Dict[str, jax.Array]):
         """Init-only path touching every submodule (incl. the dormant region
-        encoder, which ships in reference checkpoints)."""
+        encoder and legacy SAM mask path, which ship in reference
+        checkpoints)."""
         out = self.forward_train(batch)
         if self.cfg.with_region:
             _, mlvl = self.encode_video(batch["frames_clip"])
             rois = jnp.array([[0.1, 0.1, 0.6, 0.6]], jnp.float32)
             bidx = jnp.zeros((1,), jnp.int32)
             _ = self.encode_regions(mlvl, rois, bidx)
+        # legacy SAM surface: point/box/mask prompts + mask outputs
+        g = self.cfg.sam_dec.image_embedding_size
+        c = self.cfg.sam_dec.embed_dim
+        dummy_emb = jnp.zeros((1, g * g, c), self.dtype)
+        pts = jnp.array([[[8.0, 8.0]]], jnp.float32)
+        lbl = jnp.array([[1]], jnp.int32)
+        bxs = jnp.array([[1.0, 1.0, 12.0, 12.0]], jnp.float32)
+        msk = jnp.zeros((1, 4 * g, 4 * g, 1), jnp.float32)
+        _ = self.segment(dummy_emb, points=pts, point_labels=lbl, boxes=bxs,
+                         mask_inputs=msk)
         return out
 
     def forward_boxes(self, batch: Dict[str, jax.Array]):

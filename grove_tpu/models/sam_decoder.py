@@ -68,6 +68,16 @@ class PromptEncoder(nn.Module):
         self.no_mask_embed = self.param(
             "no_mask_embed", nn.initializers.normal(1.0),
             (1, cfg.embed_dim), jnp.float32)
+        # mask-input downscaling stack (`prompt_encoder.py:56-64`)
+        mc = cfg.mask_in_chans
+        self.mask_down_conv1 = nn.Conv(mc // 4, (2, 2), strides=(2, 2),
+                                       dtype=self.dtype, name="mask_down_0")
+        self.mask_down_ln1 = LayerNorm2d(name="mask_down_1")
+        self.mask_down_conv2 = nn.Conv(mc, (2, 2), strides=(2, 2),
+                                       dtype=self.dtype, name="mask_down_3")
+        self.mask_down_ln2 = LayerNorm2d(name="mask_down_4")
+        self.mask_down_conv3 = nn.Conv(cfg.embed_dim, (1, 1),
+                                       dtype=self.dtype, name="mask_down_6")
 
     def get_dense_pe(self):
         g = self.cfg.image_embedding_size
@@ -101,13 +111,22 @@ class PromptEncoder(nn.Module):
         pe = pe.at[:, 1].add(self.point_embeddings[3][0])
         return pe
 
+    def embed_masks(self, masks):
+        """(B, 4g, 4g, 1) mask inputs -> (B, g, g, C) dense embeddings."""
+        x = self.mask_down_conv1(masks.astype(self.dtype))
+        x = nn.gelu(self.mask_down_ln1(x), approximate=False)
+        x = self.mask_down_conv2(x)
+        x = nn.gelu(self.mask_down_ln2(x), approximate=False)
+        return self.mask_down_conv3(x)
+
     def __call__(self, text_embeds=None, points=None, point_labels=None,
-                 boxes=None):
-        """Returns (sparse (B, N, C), dense (g, g, C)) embeddings.
+                 boxes=None, masks=None):
+        """Returns (sparse (B, N, C), dense embeddings).
 
         The GROVE path passes only `text_embeds` (B, 1, C)
         (`model/GROVE.py:275-277`): sparse = text embeds, dense = the
-        no-mask embedding broadcast over the grid.
+        no-mask embedding broadcast over the grid. SAM-style prompting may
+        add points/boxes/mask inputs (`prompt_encoder.py:140-186`).
         """
         cfg = self.cfg
         parts = []
@@ -120,8 +139,11 @@ class PromptEncoder(nn.Module):
             parts.append(text_embeds.astype(jnp.float32))
         sparse = jnp.concatenate(parts, axis=1)
         g = cfg.image_embedding_size
-        dense = jnp.broadcast_to(self.no_mask_embed[0],
-                                 (g, g, cfg.embed_dim))
+        if masks is not None:
+            dense = self.embed_masks(masks)
+        else:
+            dense = jnp.broadcast_to(self.no_mask_embed[0],
+                                     (g, g, cfg.embed_dim))
         return sparse.astype(self.dtype), dense.astype(self.dtype)
 
 
@@ -222,53 +244,109 @@ class TwoWayTransformer(nn.Module):
 
 
 class GroveBoxDecoder(nn.Module):
-    """Query-decoding box head over (frame x phrase) instances.
+    """SAM mask decoder with GROVE's query box/objectness heads.
 
-    forward(image_embeddings (N_img, HW, C), image_pe (HW, C),
-            text_embeds (N_inst, 1, C), instance_to_image (N_inst,) int)
-    -> boxes (N_inst, 4) sigmoid cxcywh, objectness logits (N_inst,).
+    __call__ (decoding_type="query", the GROVE path): per (frame x phrase)
+    instance, token seq [iou, 4 mask, text] -> sigmoid cxcywh box +
+    objectness logit (`mask_decoder.py:191-203`).
+
+    predict_masks (legacy SAM path, retained in the reference and its
+    checkpoints `mask_decoder.py:206-227`): upscale the attended image
+    embedding and dot with hypernetwork MLPs -> (N, num_mask_tokens, 4g, 4g)
+    masks + IoU predictions, enabling SAM-style promptable segmentation.
     """
     cfg: SamDecoderConfig
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, image_embeddings, image_pe, sparse_embeddings,
-                 dense_embeddings, instance_to_image):
+    def setup(self):
+        cfg = self.cfg
+        self.iou_token = self.param("iou_token", nn.initializers.normal(1.0),
+                                    (1, cfg.embed_dim), jnp.float32)
+        self.mask_tokens = self.param("mask_tokens",
+                                      nn.initializers.normal(1.0),
+                                      (cfg.num_mask_tokens, cfg.embed_dim),
+                                      jnp.float32)
+        self.transformer = TwoWayTransformer(cfg, dtype=self.dtype,
+                                             name="transformer")
+        self.bbox_head_0 = nn.Dense(cfg.embed_dim, dtype=self.dtype,
+                                    name="bbox_head_0")
+        self.bbox_head_2 = nn.Dense(4, dtype=self.dtype, name="bbox_head_2")
+        if cfg.use_temp_objectness:
+            self.temporal_objectness_head = nn.Dense(
+                1, dtype=self.dtype, name="temporal_objectness_head")
+        # legacy mask path (`mask_decoder.py:57-77`)
+        self.upscale_conv1 = nn.ConvTranspose(
+            cfg.embed_dim // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
+            name="output_upscaling_0")
+        self.upscale_ln = LayerNorm2d(name="output_upscaling_1")
+        self.upscale_conv2 = nn.ConvTranspose(
+            cfg.embed_dim // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
+            name="output_upscaling_3")
+        self.hyper_mlps = [
+            MLP(cfg.embed_dim, cfg.embed_dim // 8, 3, dtype=self.dtype,
+                name=f"output_hypernetworks_mlps_{i}")
+            for i in range(cfg.num_mask_tokens)]
+        self.iou_prediction_head = MLP(
+            cfg.iou_head_hidden_dim, cfg.num_mask_tokens,
+            cfg.iou_head_depth, dtype=self.dtype,
+            name="iou_prediction_head")
+
+    def _run_transformer(self, image_embeddings, image_pe, sparse_embeddings,
+                         dense_embeddings, instance_to_image):
         cfg = self.cfg
         n_inst = sparse_embeddings.shape[0]
-
-        iou_token = self.param("iou_token", nn.initializers.normal(1.0),
-                               (1, cfg.embed_dim), jnp.float32)
-        mask_tokens = self.param("mask_tokens", nn.initializers.normal(1.0),
-                                 (cfg.num_mask_tokens, cfg.embed_dim),
-                                 jnp.float32)
-        output_tokens = jnp.concatenate([iou_token, mask_tokens], axis=0)
+        output_tokens = jnp.concatenate([self.iou_token, self.mask_tokens],
+                                        axis=0)
         output_tokens = jnp.broadcast_to(
             output_tokens.astype(self.dtype)[None],
             (n_inst, 1 + cfg.num_mask_tokens, cfg.embed_dim))
         tokens = jnp.concatenate(
             [output_tokens, sparse_embeddings.astype(self.dtype)], axis=1)
 
-        # per-instance image: gather frame embeddings + add dense prompt
         src = image_embeddings[instance_to_image]          # (N_inst, HW, C)
-        src = src + dense_embeddings.reshape(1, -1, cfg.embed_dim)
+        dense = dense_embeddings.reshape(-1, src.shape[1], cfg.embed_dim)
+        src = src + dense
         pos = jnp.broadcast_to(image_pe.reshape(1, -1, cfg.embed_dim),
                                src.shape).astype(self.dtype)
+        hs, keys = self.transformer(src, pos, tokens)
+        return hs, keys
 
-        hs, _ = TwoWayTransformer(cfg, dtype=self.dtype,
-                                  name="transformer")(src, pos, tokens)
+    def __call__(self, image_embeddings, image_pe, sparse_embeddings,
+                 dense_embeddings, instance_to_image):
+        cfg = self.cfg
+        hs, _ = self._run_transformer(image_embeddings, image_pe,
+                                      sparse_embeddings, dense_embeddings,
+                                      instance_to_image)
         query_out = hs[:, 1 + cfg.num_mask_tokens:, :]     # (N_inst, 1, C)
-
-        h = nn.Dense(cfg.embed_dim, dtype=self.dtype,
-                     name="bbox_head_0")(query_out)
-        h = nn.relu(h)
-        boxes = jax.nn.sigmoid(
-            nn.Dense(4, dtype=self.dtype, name="bbox_head_2")(h))
-        boxes = boxes[:, 0, :]                             # (N_inst, 4)
-
+        h = nn.relu(self.bbox_head_0(query_out))
+        boxes = jax.nn.sigmoid(self.bbox_head_2(h))[:, 0, :]
         obj_logits = None
         if cfg.use_temp_objectness:
-            obj = nn.Dense(1, dtype=self.dtype,
-                           name="temporal_objectness_head")(query_out)
-            obj_logits = obj[:, 0, 0]
+            obj_logits = self.temporal_objectness_head(query_out)[:, 0, 0]
         return boxes, obj_logits
+
+    def predict_masks(self, image_embeddings, image_pe, sparse_embeddings,
+                      dense_embeddings, instance_to_image,
+                      multimask_output: bool = False):
+        """Legacy SAM mask outputs (`mask_decoder.py:206-227`)."""
+        cfg = self.cfg
+        g = cfg.image_embedding_size
+        hs, keys = self._run_transformer(image_embeddings, image_pe,
+                                         sparse_embeddings,
+                                         dense_embeddings, instance_to_image)
+        iou_token_out = hs[:, 0, :]
+        mask_tokens_out = hs[:, 1:1 + cfg.num_mask_tokens, :]
+
+        src = keys.reshape(-1, g, g, cfg.embed_dim)
+        up = self.upscale_conv1(src)
+        up = nn.gelu(self.upscale_ln(up), approximate=False)
+        up = nn.gelu(self.upscale_conv2(up), approximate=False)
+        n, uh, uw, uc = up.shape
+        hyper_in = jnp.stack(
+            [self.hyper_mlps[i](mask_tokens_out[:, i, :])
+             for i in range(cfg.num_mask_tokens)], axis=1)  # (N, M, uc)
+        masks = jnp.einsum("nmc,nhwc->nmhw", hyper_in, up)
+        iou_pred = self.iou_prediction_head(iou_token_out)
+        if multimask_output:
+            return masks[:, 1:], iou_pred[:, 1:]
+        return masks[:, :1], iou_pred[:, :1]

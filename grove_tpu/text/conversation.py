@@ -48,7 +48,40 @@ LLAVA_V1 = Conversation(
     sep2="</s>",
 )
 
-CONV_TEMPLATES = {"llava_v1": LLAVA_V1}
+
+@dataclasses.dataclass
+class Llama2Conversation(Conversation):
+    """LLAMA_2 separator style (`conversation.py:72-93` of the reference):
+    [INST] ... [/INST] wrapping with <<SYS>> on the first turn."""
+
+    def get_prompt(self) -> str:
+        wrap_sys = lambda msg: f"<<SYS>>\n{msg}\n<</SYS>>\n\n"  # noqa: E731
+        wrap_inst = lambda msg: f"[INST] {msg} [/INST]"          # noqa: E731
+        ret = ""
+        for i, (role, message) in enumerate(self.messages):
+            if message:
+                if i == 0:
+                    message = wrap_sys(self.system) + message
+                if i % 2 == 0:
+                    ret += self.sep + wrap_inst(message)
+                else:
+                    ret += " " + message + " " + self.sep2
+            else:
+                ret += ""
+        return ret.lstrip(self.sep)
+
+
+LLAVA_LLAMA_2 = Llama2Conversation(
+    system=("You are a helpful language and vision assistant. You are able "
+            "to understand the visual content that the user provides, and "
+            "assist the user with a variety of tasks using natural "
+            "language."),
+    roles=("USER", "ASSISTANT"),
+    sep="<s>",
+    sep2="</s>",
+)
+
+CONV_TEMPLATES = {"llava_v1": LLAVA_V1, "llava_llama_2": LLAVA_LLAMA_2}
 
 
 def build_prompt(instruction: str, answer: str = "",

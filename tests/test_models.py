@@ -111,3 +111,22 @@ def test_kv_cache_decode_matches_full_forward(rng):
         np.testing.assert_allclose(
             np.asarray(h[:, 0]), np.asarray(full_hidden[:, i]),
             rtol=2e-4, atol=2e-5, err_msg=f"step {i}")
+
+
+def test_segment_promptable_masks(tiny_setup, rng):
+    """Legacy SAM mask path: point/box prompts -> mask logits + IoU."""
+    cfg, model, variables = tiny_setup
+    g = cfg.sam_dec.image_embedding_size
+    c = cfg.sam_dec.embed_dim
+    emb = jnp.asarray(rng.normal(size=(2, g * g, c)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(0, 16, size=(2, 1, 2)).astype(np.float32))
+    lbl = jnp.ones((2, 1), jnp.int32)
+    masks, iou = model.apply(variables, emb, points=pts, point_labels=lbl,
+                             method=GroveModel.segment)
+    assert masks.shape == (2, 1, 4 * g, 4 * g)
+    assert iou.shape == (2, 1)
+    masks3, iou3 = model.apply(variables, emb, points=pts, point_labels=lbl,
+                               multimask_output=True,
+                               method=GroveModel.segment)
+    assert masks3.shape == (2, cfg.sam_dec.num_mask_tokens - 1, 4 * g, 4 * g)
+    assert np.isfinite(np.asarray(masks)).all()
