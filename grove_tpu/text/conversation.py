@@ -21,8 +21,8 @@ class Conversation:
     messages: List[Tuple[str, str]] = dataclasses.field(default_factory=list)
 
     def copy(self) -> "Conversation":
-        return Conversation(self.system, self.roles, self.sep, self.sep2,
-                            list(self.messages))
+        return type(self)(self.system, self.roles, self.sep, self.sep2,
+                          list(self.messages))
 
     def append_message(self, role: str, message: str | None) -> None:
         self.messages.append((role, message))
