@@ -270,7 +270,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="GROVE TPU batch inference")
     p.add_argument("--task", default="iground",
                    choices=["iground", "vidstg", "groundingyoutube",
-                            "youcookinteractions"])
+                            "youcookinteractions", "anet"])
+    p.add_argument("--frame_timestamps", default=None,
+                   help="frame-timestamps json (anet task)")
     p.add_argument("--model_size", default="tiny",
                    choices=["tiny", "small", "full"])
     p.add_argument("--version", default=None,
@@ -297,6 +299,13 @@ def main(argv=None):
         elif args.task == "vidstg":
             from ..data.synthetic import make_synthetic_vidstg
             args.ann_dir, args.video_dir = make_synthetic_vidstg(root)
+        elif args.task == "anet":
+            import json as _json
+            from ..data.synthetic import make_synthetic_anet
+            args.ann_dir, args.video_dir, fts = make_synthetic_anet(root)
+            args.frame_timestamps = os.path.join(root, "fts.json")
+            with open(args.frame_timestamps, "w") as f:
+                _json.dump(fts, f)
         else:
             from ..data.synthetic import make_synthetic_pointing
             key = ("segment_groundingyoutube_idx"
@@ -339,6 +348,15 @@ def main(argv=None):
                                         max_frames=args.max_frames)
         outputs = run_caption_grounding(
             dataset, model, variables, cfg, tokenizer, task="vidstg",
+            rank=jax.process_index(), world=jax.process_count())
+    elif args.task == "anet":
+        import json as _json
+        with open(args.frame_timestamps) as f:
+            fts = _json.load(f)
+        dataset = FullClipANetDataset(args.ann_dir, args.video_dir, fts, cfg)
+        outputs = run_anet_inference(
+            dataset, model, variables, cfg, tokenizer,
+            max_new_tokens=args.max_new_tokens,
             rank=jax.process_index(), world=jax.process_count())
     else:
         key = ("segment_groundingyoutube_idx"

@@ -95,6 +95,9 @@ def parse_args(args=None):
                    help="capture a jax.profiler trace of steps 2-4 here")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize LLM blocks (activation checkpointing)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host "
+                        "pods; the SLURM/torchrun rendezvous equivalent)")
     return p.parse_args(args)
 
 
@@ -243,6 +246,11 @@ def validate(model, params, loader, cfg, args):
 
 
 def _run(args):
+    if args.multihost and jax.process_count() == 1:
+        # TPU pods: env-driven coordinator discovery (replaces the
+        # reference's NCCL + SLURM/torchrun rendezvous plumbing,
+        # `utils/utils.py:186-228`)
+        jax.distributed.initialize()
     np.random.seed(args.seed)
 
     cfg = build_config(args)
