@@ -25,12 +25,22 @@ def main():
     p.add_argument("--part", default="all",
                    choices=["all", "train", "boxes", "decode"])
     p.add_argument("--batch", default=1, type=int)
+    p.add_argument("--llama_layers", default=None, type=int,
+                   help="reduce LLM depth (full width) — the single-chip "
+                        "train check needs this: 8.4B bf16 params alone "
+                        "exceed one v5e's 15.75GB HBM, so full-depth "
+                        "training requires the TP/DP mesh")
     args = p.parse_args()
 
+    import dataclasses
     from grove_tpu.config import GroveConfig
     from grove_tpu.models.grove import GroveModel
 
     cfg = GroveConfig()          # full size
+    if args.llama_layers:
+        cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama,
+                                           num_layers=args.llama_layers))
     model = GroveModel(cfg, dtype=jnp.bfloat16, remat=True)
     b = args.batch
     t = cfg.num_frames
@@ -62,6 +72,11 @@ def main():
     var_shapes = jax.eval_shape(
         lambda r, bt: model.init(r, bt, method=GroveModel.init_all),
         jax.random.PRNGKey(0), batch_avals)
+    # serve in bf16 (fp32 params would be 33.7 GB; flax compute dtype is
+    # independent of param storage dtype)
+    var_shapes = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, var_shapes)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(
         var_shapes["params"]))
     print(f"  {n_params/1e9:.2f}B params ({time.time()-t0:.0f}s)",
@@ -79,24 +94,56 @@ def main():
               flush=True)
 
     if args.part in ("all", "boxes"):
-        print("compiling forward_boxes (full inference pass)...", flush=True)
-        check("forward_boxes",
-              lambda v, bt: model.apply(v, bt,
-                                        method=GroveModel.forward_boxes),
-              var_shapes, batch_avals)
+        # per-part compilation mirrors the real inference structure (each
+        # stage is its own jit launch); the monolithic graph exceeds the
+        # axon relay's compile-request limits in this environment
+        print("compiling inference stages...", flush=True)
+        check("encode_video",
+              lambda v, f: model.apply(v, f,
+                                       method=GroveModel.encode_video)[0],
+              var_shapes, batch_avals["frames_clip"])
+        check("encode_grounding",
+              lambda v, f: model.apply(v, f,
+                                       method=GroveModel.encode_grounding),
+              var_shapes, batch_avals["frames_sam"])
+        check("lm_forward",
+              lambda v, i, ve, s: model.apply(
+                  v, i, ve, s, method=GroveModel.lm_forward)[1],
+              var_shapes, batch_avals["input_ids"],
+              jax.ShapeDtypeStruct((b, nv, cfg.llama.hidden_size),
+                                   jnp.bfloat16),
+              batch_avals["video_start"])
+        g2 = cfg.sam_enc.grid ** 2
+        check("ground",
+              lambda v, h, d, e: model.apply(
+                  v, h, d, e, method=GroveModel.ground)[0],
+              var_shapes,
+              jax.ShapeDtypeStruct((b, L, cfg.llama.hidden_size),
+                                   jnp.bfloat16),
+              batch_avals["det_positions"],
+              jax.ShapeDtypeStruct((b * t, g2, cfg.sam_dec.embed_dim),
+                                   jnp.bfloat16))
 
     if args.part in ("all", "train"):
-        print("compiling forward_train + grad (train step core)...",
+        print("compiling forward_train + grad (fine-tune recipe: grads for "
+              "the trainable subtree only)...", flush=True)
+        from grove_tpu.train.step import (OptimizerConfig, combine_params,
+                                          partition_params, trainable_mask)
+        mask = trainable_mask(var_shapes["params"], OptimizerConfig())
+        t_avals, f_avals = partition_params(var_shapes["params"], mask)
+        n_train = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(t_avals))
+        print(f"  trainable: {n_train/1e9:.2f}B of {n_params/1e9:.2f}B",
               flush=True)
 
-        def loss_fn(params, bt):
+        def loss_fn(trainable, frozen, bt):
+            params = combine_params(trainable, frozen)
             out = model.apply({"params": params}, bt,
                               method=GroveModel.forward_train)
             return out["loss"]
 
         check("train_grad",
-              lambda v, bt: jax.grad(loss_fn)(v["params"], bt),
-              var_shapes, batch_avals)
+              lambda t_, f_, bt: jax.grad(loss_fn)(t_, f_, bt),
+              t_avals, f_avals, batch_avals)
 
     if args.part in ("all", "decode"):
         print("compiling decode_step at full cache...", flush=True)

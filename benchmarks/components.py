@@ -82,38 +82,42 @@ def main():
     report = {}
 
     report["clip_encode_ms"] = timed(
-        lambda f: model.apply({"params": params}, f,
-                              method=GroveModel.encode_video)[0],
-        fc, iters=args.iters) * 1e3
+        lambda p, f: model.apply({"params": p}, f,
+                                 method=GroveModel.encode_video)[0],
+        params, fc, iters=args.iters) * 1e3
     report["sam_encode_ms"] = timed(
-        lambda f: model.apply({"params": params}, f,
-                              method=GroveModel.encode_grounding),
-        fs, iters=args.iters) * 1e3
+        lambda p, f: model.apply({"params": p}, f,
+                                 method=GroveModel.encode_grounding),
+        params, fs, iters=args.iters) * 1e3
     report["lm_forward_ms"] = timed(
-        lambda i, v, s: model.apply({"params": params}, i, v, s,
-                                    method=GroveModel.lm_forward)[1],
-        ids_j, ve, vs, iters=args.iters) * 1e3
+        lambda p, i, v, s: model.apply({"params": p}, i, v, s,
+                                       method=GroveModel.lm_forward)[1],
+        params, ids_j, ve, vs, iters=args.iters) * 1e3
 
     ie = model.apply({"params": params}, fs,
                      method=GroveModel.encode_grounding)
     hidden = jnp.asarray(rng.normal(size=(b, L, cfg.llama.hidden_size)),
                          dtype)
     report["ground_ms"] = timed(
-        lambda h, d, e: model.apply({"params": params}, h, d, e,
-                                    method=GroveModel.ground)[0],
-        hidden, det, ie, iters=args.iters) * 1e3
+        lambda p, h, d, e: model.apply({"params": p}, h, d, e,
+                                       method=GroveModel.ground)[0],
+        params, hidden, det, ie, iters=args.iters) * 1e3
 
     # one decode step at full cache length
     caches = init_kv_caches(cfg.llama, b, L + 64, dtype=dtype)
     tok = jnp.zeros((b, 1), jnp.int32)
     report["decode_step_ms"] = timed(
-        lambda tk: model.apply({"params": params}, tk, L, caches,
-                               method=GroveModel.decode_step)[1],
-        tok, iters=args.iters) * 1e3
+        lambda p, tk, cc: model.apply({"params": p}, tk, L, cc,
+                                      method=GroveModel.decode_step)[1],
+        params, tok, caches, iters=args.iters) * 1e3
 
-    # train step (forward+backward+update)
-    opt = make_optimizer(params, OptimizerConfig(total_steps=100))
-    opt_state = opt.init(params)
+    # train step (forward+backward+update), reference freeze policy
+    from grove_tpu.train.step import partition_params, trainable_mask
+    opt_cfg = OptimizerConfig(total_steps=100)
+    opt = make_optimizer(params, opt_cfg)
+    mask = trainable_mask(params, opt_cfg)
+    trainable, frozen = partition_params(params, mask)
+    opt_state = opt.init(trainable)
     step = make_train_step(model, opt)
     batch = {
         "frames_clip": fc, "frames_sam": fs, "input_ids": ids_j,
@@ -128,13 +132,13 @@ def main():
     }
 
     jit_step = jax.jit(step)
-    out = jit_step(params, opt_state, batch)
+    out = jit_step(trainable, frozen, opt_state, batch)
     _ = np.asarray(out[2]["loss"])
     t0 = time.time()
     n = max(args.iters // 2, 2)
-    p_, o_ = params, opt_state
+    p_, o_ = trainable, opt_state
     for _ in range(n):
-        p_, o_, m = jit_step(p_, o_, batch)
+        p_, o_, m = jit_step(p_, frozen, o_, batch)
     _ = np.asarray(m["loss"])
     report["train_step_ms"] = (time.time() - t0) / n * 1e3
 

@@ -692,3 +692,15 @@ def to_torch_state_dict(params, cfg: GroveConfig) -> Dict[str, np.ndarray]:
                 f"temporal_objectness_head.{suffix}", val)
         # unmatched paths are silently left out (they have no torch analogue)
     return out
+
+
+def cast_params(params, dtype):
+    """Cast a param tree's float leaves to `dtype` (e.g. bf16 for serving;
+    flax compute dtype is independent of storage dtype)."""
+    import jax.numpy as jnp
+
+    def f(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(f, params)

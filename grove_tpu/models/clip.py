@@ -111,6 +111,7 @@ class ClipVisionTower(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     pool_thw: Tuple[int, int, int] = (8, 8, 9)
     num_region_levels: int = 4
+    remat: bool = False
 
     @nn.compact
     def __call__(self, frames):
@@ -139,9 +140,11 @@ class ClipVisionTower(nn.Module):
                          name="pre_layrnorm")(x)  # HF's typo'd name, kept
 
         # --- encoder with adapters + hidden-state taps ---
+        layer_cls = (nn.remat(ClipEncoderLayer, prevent_cse=False)
+                     if self.remat else ClipEncoderLayer)
         hidden_states: List[jax.Array] = [x]
         for i in range(cfg.num_layers):
-            x = ClipEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
+            x = layer_cls(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
             if i % cfg.adapter_every == 0:
                 x = ClipVideoAdapter(cfg, dtype=self.dtype,
                                      name=f"adapters_{i // cfg.adapter_every}")(x)

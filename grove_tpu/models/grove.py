@@ -48,13 +48,14 @@ class GroveModel(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.clip_tower = ClipVisionTower(
-            cfg.clip, dtype=self.dtype,
+            cfg.clip, dtype=self.dtype, remat=self.remat,
             pool_thw=(cfg.pool_t, cfg.pool_h, cfg.pool_w), name="vision_tower")
         self.mm_projector_0 = nn.Dense(cfg.llama.hidden_size,
                                        dtype=self.dtype, name="mm_projector_0")
         self.mm_projector_2 = nn.Dense(cfg.llama.hidden_size,
                                        dtype=self.dtype, name="mm_projector_2")
         self.grounding_encoder = SamImageEncoder(cfg.sam_enc, dtype=self.dtype,
+                                                 remat=self.remat,
                                                  name="grounding_encoder")
         self.prompt_encoder = PromptEncoder(cfg.sam_dec, dtype=self.dtype,
                                             name="prompt_encoder")

@@ -144,6 +144,7 @@ class SamImageEncoder(nn.Module):
     """
     cfg: SamEncoderConfig
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, frames):
@@ -159,11 +160,13 @@ class SamImageEncoder(nn.Module):
         x = x + pos.astype(self.dtype)[None]
 
         n_adapter = 0
+        block_cls = (nn.remat(SamBlock, prevent_cse=False)
+                     if self.remat else SamBlock)
         for i in range(cfg.depth):
             is_global = i in cfg.global_attn_indexes
-            x = SamBlock(cfg,
-                         window_size=0 if is_global else cfg.window_size,
-                         dtype=self.dtype, name=f"blocks_{i}")(x)
+            x = block_cls(cfg,
+                          window_size=0 if is_global else cfg.window_size,
+                          dtype=self.dtype, name=f"blocks_{i}")(x)
             if is_global:
                 g = cfg.grid
                 grid5 = x.reshape(b, t, g, g, cfg.embed_dim)

@@ -172,6 +172,28 @@ def flash_attention(q, k, v, *, causal: bool = False,
     return out[:, :sq]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_with_vjp(q, k, v, causal, scale):
+    return flash_attention(q, k, v, causal=causal, scale=scale)
+
+
+def _flash_fwd(q, k, v, causal, scale):
+    return flash_attention(q, k, v, causal=causal, scale=scale), (q, k, v)
+
+
+def _flash_bwd(causal, scale, res, g):
+    # backward differentiates the XLA reference path (identical math);
+    # a dedicated Pallas backward kernel is a planned optimization
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xla_attention(q_, k_, v_, causal=causal,
+                                         scale=scale), q, k, v)
+    return vjp(g)
+
+
+_flash_with_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+
 def multi_head_attention(q, k, v, *, causal: bool = False,
                          bias: Optional[jax.Array] = None,
                          mask: Optional[jax.Array] = None,
@@ -184,6 +206,6 @@ def multi_head_attention(q, k, v, *, causal: bool = False,
         big = q.shape[1] >= 128 and q.shape[-1] % 128 == 0
         impl = "pallas" if (on_tpu and simple and big) else "xla"
     if impl == "pallas":
-        return flash_attention(q, k, v, causal=causal, scale=scale)
+        return _flash_with_vjp(q, k, v, causal, scale)
     return xla_attention(q, k, v, causal=causal, bias=bias, mask=mask,
                          scale=scale)

@@ -139,12 +139,68 @@ def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term,
     return out.reshape(b, nh, s, d).transpose(0, 2, 1, 3)
 
 
+def _xla_relpos_attention(q, k, v, rel_pos_h, rel_pos_w,
+                          hw: Tuple[int, int]):
+    """Reference path: materialized decomposed-rel-pos bias + softmax."""
+    from .attention import xla_attention
+    from ..models.sam_encoder import decomposed_rel_pos_bias
+    bias = decomposed_rel_pos_bias(q, rel_pos_h, rel_pos_w, hw)
+    return xla_attention(q, k, v, bias=bias,
+                         scale=1.0 / math.sqrt(q.shape[-1]))
+
+
+def _fused_relpos_attention(q, k, v, rel_pos_h, rel_pos_w,
+                            hw: Tuple[int, int]):
+    h, w = hw
+    s = q.shape[1]
+    rh, rw = relpos_terms(q, rel_pos_h, rel_pos_w, hw)
+    block_k = w
+    while block_k * 2 <= min(s, 512) and s % (block_k * 2) == 0:
+        block_k *= 2
+    return flash_attention_relpos(q, k, v, rh, rw, hw,
+                                  block_q=block_k, block_k=block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_with_vjp(q, k, v, rel_pos_h, rel_pos_w, hw):
+    return _fused_relpos_attention(q, k, v, rel_pos_h, rel_pos_w, hw)
+
+
+def _fused_fwd(q, k, v, rel_pos_h, rel_pos_w, hw):
+    return (_fused_relpos_attention(q, k, v, rel_pos_h, rel_pos_w, hw),
+            (q, k, v, rel_pos_h, rel_pos_w))
+
+
+def _fused_bwd(hw, res, g):
+    # backward recomputes through the XLA reference path (the Pallas forward
+    # has no native VJP); numerics match since both compute the same fn.
+    # lax.map over the batch axis serializes the S^2 attention buffers —
+    # otherwise every global block's backward materializes (B, H, S, S)
+    # simultaneously and a ViT-H train step OOMs a single chip.
+    q, k, v, rel_pos_h, rel_pos_w = res
+
+    def per_sample(args):
+        qi, ki, vi, gi = args
+        out, vjp = jax.vjp(
+            lambda q_, k_, v_, rh_, rw_: _xla_relpos_attention(
+                q_[None], k_[None], v_[None], rh_, rw_, hw)[0],
+            qi, ki, vi, rel_pos_h, rel_pos_w)
+        return vjp(gi)
+
+    dq, dk, dv, drh, drw = jax.lax.map(per_sample, (q, k, v, g))
+    return dq, dk, dv, drh.sum(0), drw.sum(0)
+
+
+_fused_with_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
 def sam_attention_with_relpos(q, k, v, rel_pos_h, rel_pos_w,
                               hw: Tuple[int, int], impl: str = "auto"):
     """Full SAM attention: q unscaled (B, S, H, D) -> (B, S, H, D).
 
-    impl "auto": fused pallas kernel when on TPU and shapes conform, else
-    the XLA bias-materializing path.
+    impl "auto": fused pallas kernel when on TPU and shapes conform (with a
+    custom VJP that differentiates through the XLA path), else the XLA
+    bias-materializing path.
     """
     h, w = hw
     s = q.shape[1]
@@ -153,17 +209,5 @@ def sam_attention_with_relpos(q, k, v, rel_pos_h, rel_pos_w,
                   (impl == "auto" and jax.default_backend() == "tpu"
                    and conforming))
     if use_pallas:
-        rh, rw = relpos_terms(q, rel_pos_h, rel_pos_w, hw)
-        # pick block_k as a multiple of w that divides s
-        block_k = w
-        while block_k * 2 <= min(s, 512) and s % (block_k * 2) == 0:
-            block_k *= 2
-        block_q = block_k
-        return flash_attention_relpos(q, k, v, rh, rw, hw,
-                                      block_q=block_q, block_k=block_k)
-    # XLA fallback: materialized bias
-    from .attention import xla_attention
-    from ..models.sam_encoder import decomposed_rel_pos_bias
-    bias = decomposed_rel_pos_bias(q, rel_pos_h, rel_pos_w, hw)
-    return xla_attention(q, k, v, bias=bias, scale=1.0 / math.sqrt(
-        q.shape[-1]))
+        return _fused_with_vjp(q, k, v, rel_pos_h, rel_pos_w, hw)
+    return _xla_relpos_attention(q, k, v, rel_pos_h, rel_pos_w, hw)

@@ -36,7 +36,8 @@ from ..models.grove import GroveModel, init_grove_params
 from ..parallel.mesh import make_mesh
 from ..parallel.sharding import params_shardings, shard_pytree
 from ..utils.meters import AverageMeter, ProgressMeter, Summary
-from .step import (OptimizerConfig, make_optimizer, make_train_step)
+from .step import (OptimizerConfig, combine_params, make_optimizer,
+                   make_train_step, partition_params, trainable_mask)
 
 
 def parse_args(args=None):
@@ -288,13 +289,17 @@ def _run(args):
         import optax
         optimizer = optax.MultiSteps(optimizer,
                                      args.grad_accumulation_steps)
-    opt_state = optimizer.init(params)
 
     p_shard = params_shardings(params, mesh)
     params = shard_pytree(params, p_shard)
-    train_step = jax.jit(make_train_step(model, optimizer),
-                         in_shardings=(p_shard, None, None),
-                         out_shardings=(p_shard, None, None))
+    mask = trainable_mask(params, opt_cfg)
+    trainable, frozen = partition_params(params, mask)
+    n_train = sum(int(np.prod(x.shape))
+                  for x in jax.tree.leaves(trainable))
+    n_total = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    print(f"trainable params: {n_train/1e6:.1f}M / {n_total/1e6:.1f}M")
+    opt_state = optimizer.init(trainable)
+    train_step = jax.jit(make_train_step(model, optimizer))
 
     log_dir = os.path.join(args.log_base_dir, args.exp_name)
     os.makedirs(log_dir, exist_ok=True)
@@ -313,7 +318,7 @@ def _run(args):
         if latest is not None:
             restored = ckpt.restore(latest, {"params": params,
                                              "opt_state": opt_state})
-            params = restored["params"]
+            trainable, frozen = partition_params(restored["params"], mask)
             opt_state = restored["opt_state"]
             start_epoch = latest // args.steps_per_epoch
             print(f"resumed from step {latest} (epoch {start_epoch})")
@@ -360,7 +365,8 @@ def _run(args):
             if args.profile_dir and global_step == 2:
                 jax.profiler.start_trace(args.profile_dir)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            params, opt_state, metrics = train_step(params, opt_state, jb)
+            trainable, opt_state, metrics = train_step(trainable, frozen,
+                                                       opt_state, jb)
             if args.profile_dir and global_step == 4:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
@@ -382,6 +388,7 @@ def _run(args):
                 writer.add_scalar("metrics/data_secs_per_batch", dt.val,
                                   global_step)
 
+        params = combine_params(trainable, frozen)
         if val_loader is not None:
             val_metrics = validate(model, params, val_loader, cfg, args)
             print(f"epoch {epoch} val: "

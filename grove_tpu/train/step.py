@@ -75,34 +75,51 @@ def trainable_mask(params, cfg: OptimizerConfig):
     return jax.tree_util.tree_map_with_path(f, params)
 
 
+def partition_params(params, mask):
+    """Split a param tree into (trainable, frozen) trees with None holes
+    (equinox partition/combine pattern). Keeping frozen params OUT of the
+    differentiated argument means XLA never materializes their gradients —
+    essential at 8B+ scale where the fine-tune recipe trains ~5% of params
+    (the reference's requires_grad policy has the same effect under torch)."""
+    trainable = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return trainable, frozen
+
+
+def combine_params(trainable, frozen):
+    is_none = lambda x: x is None  # noqa: E731
+    return jax.tree.map(lambda a, b: b if a is None else a,
+                        trainable, frozen, is_leaf=is_none)
+
+
 def make_optimizer(params, cfg: OptimizerConfig):
+    """AdamW over the TRAINABLE subtree only (optimizer state is never
+    allocated for frozen params — the ZeRO-adjacent memory saving the
+    reference gets from DeepSpeed's requires_grad filtering)."""
     sched = warmup_decay_schedule(cfg)
-    opt = optax.chain(
+    return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
                     weight_decay=cfg.weight_decay),
     )
-    mask = trainable_mask(params, cfg)
-    return optax.multi_transform(
-        {"train": opt, "freeze": optax.set_to_zero()},
-        jax.tree.map(lambda t: "train" if t else "freeze", mask))
 
 
 def make_train_step(model: GroveModel, optimizer):
-    """Returns train_step(params, opt_state, batch) -> (params, opt_state,
-    metrics). Jit + shardings applied by the caller."""
+    """Returns train_step(trainable, frozen, opt_state, batch) ->
+    (trainable, opt_state, metrics). Grads exist only for `trainable`."""
 
-    def loss_fn(params, batch):
+    def loss_fn(trainable, frozen, batch):
+        params = combine_params(trainable, frozen)
         out = model.apply({"params": params}, batch,
                           method=GroveModel.forward_train)
         return out["loss"], out
 
-    def train_step(params, opt_state, batch):
+    def train_step(trainable, frozen, opt_state, batch):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+            trainable, frozen, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, metrics
 
     return train_step
 

@@ -60,3 +60,28 @@ def test_dispatcher_fallback_matches(rng):
     want = xla_attention(q, k, v, bias=bias, scale=1.0 / math.sqrt(d))
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_path_gradients_match_xla(rng):
+    """custom_vjp: grads through the fused path equal the XLA-path grads."""
+    from grove_tpu.ops.sam_attention import sam_attention_with_relpos
+    gh = gw = 8
+    s = gh * gw
+    nh, d = 2, 8
+    q = jnp.asarray(rng.normal(size=(1, s, nh, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, s, nh, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, s, nh, d)).astype(np.float32))
+    rh = jnp.asarray(rng.normal(size=(2 * gh - 1, d)).astype(np.float32))
+    rw = jnp.asarray(rng.normal(size=(2 * gw - 1, d)).astype(np.float32))
+
+    def loss(impl):
+        def f(*a):
+            return jnp.sum(sam_attention_with_relpos(
+                *a, (gh, gw), impl=impl) ** 2)
+        return f
+
+    g1 = jax.grad(loss("pallas"), argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
+    g2 = jax.grad(loss("xla"), argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
