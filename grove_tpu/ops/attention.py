@@ -194,6 +194,13 @@ def _flash_bwd(causal, scale, res, g):
 _flash_with_vjp.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _block_for(s: int) -> Optional[int]:
+    for b in (512, 256, 128, 64):
+        if s % b == 0:
+            return b
+    return None
+
+
 def multi_head_attention(q, k, v, *, causal: bool = False,
                          bias: Optional[jax.Array] = None,
                          mask: Optional[jax.Array] = None,
@@ -206,6 +213,12 @@ def multi_head_attention(q, k, v, *, causal: bool = False,
         big = q.shape[1] >= 128 and q.shape[-1] % 128 == 0
         impl = "pallas" if (on_tpu and simple and big) else "xla"
     if impl == "pallas":
+        block = _block_for(q.shape[1])
+        if block is not None and q.shape[1] == k.shape[1]:
+            # fully-fused path: flash forward + flash backward kernels
+            from .flash_backward import flash_attention_trainable
+            s = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+            return flash_attention_trainable(q, k, v, causal, s, block)
         return _flash_with_vjp(q, k, v, causal, scale)
     return xla_attention(q, k, v, causal=causal, bias=bias, mask=mask,
                          scale=scale)
