@@ -128,14 +128,28 @@ def grounding_recall(preds: Dict, gts: Dict, iou_threshold: float = 0.5,
 
 
 def box_average_precision(preds: Dict, gts: Dict,
-                          iou_thresholds: Optional[Sequence[float]] = None
-                          ) -> Dict[str, float]:
-    """COCO-style single-category AP over all frames.
+                          iou_thresholds: Optional[Sequence[float]] = None,
+                          mode: str = "flattening") -> Dict[str, float]:
+    """COCO-style single-category AP.
+
+    mode "flattening": all frames pooled (the reference's default);
+    mode "video": AP computed per video then averaged
+    (`eval_iground.py:240-266` evaluate_ap_per_video).
 
     Detections are ranked globally by score; per IoU threshold, greedy match
     against unmatched GT (highest IoU first); AP = 101-point interpolated
     area under P(R). Returns AP (mean over thresholds), AP50, AP75.
     """
+    if mode == "video":
+        per_video = [
+            box_average_precision({v: preds[v]}, {v: gts[v]},
+                                  iou_thresholds, mode="flattening")
+            for v in gts]
+        if not per_video:
+            return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0}
+        return {k: float(np.mean([m[k] for m in per_video]))
+                for k in per_video[0]}
+
     if iou_thresholds is None:
         iou_thresholds = np.arange(0.5, 1.0, 0.05)
 

@@ -79,6 +79,8 @@ def evaluate(gts, caps_gt, preds_pkl, text_sim=None) -> Dict:
     sim = text_sim or box_eval.token_tf_cosine
     metrics = {}
     metrics.update(box_eval.box_average_precision(preds, gts))
+    metrics["AP_video"] = box_eval.box_average_precision(
+        preds, gts, mode="video")["AP"]
     metrics["mIoU_flatten"] = box_eval.mean_iou(preds, gts, "flattening")
     metrics["mIoU_video"] = box_eval.mean_iou(preds, gts, "video")
     metrics["recall_flatten"] = box_eval.grounding_recall(

@@ -219,13 +219,24 @@ def run_inference(dataset, model, variables, cfg: GroveConfig, tokenizer,
     Clips are processed in groups of `clip_batch`: the fixed-prompt
     center-window generation batches across the group (one device launch),
     then each clip's remaining windows run in one batched pass."""
+    from concurrent.futures import ThreadPoolExecutor
     from .sliding import infer_clips_batched
     video_outputs: Dict[str, Dict] = {}
     my_indices = list(range(rank, len(dataset), world))
-    for g in range(0, len(my_indices), clip_batch):
+    groups = [my_indices[g:g + clip_batch]
+              for g in range(0, len(my_indices), clip_batch)]
+    pool = ThreadPoolExecutor(max_workers=4)
+
+    def load_group(idxs):
+        return [dataset[i] for i in idxs]
+
+    # prefetch: decode the next group's clips while the device computes
+    futures = [pool.submit(load_group, g) for g in groups[:2]]
+    for gi, idxs in enumerate(groups):
         t0 = time.time()
-        idxs = my_indices[g:g + clip_batch]
-        samples = [dataset[i] for i in idxs]
+        samples = futures[gi].result()
+        if gi + 2 < len(groups):
+            futures.append(pool.submit(load_group, groups[gi + 2]))
         outs = infer_clips_batched(model, variables, cfg, tokenizer,
                                    samples, max_new_tokens=max_new_tokens)
         for sample, out in zip(samples, outs):
@@ -243,6 +254,7 @@ def run_inference(dataset, model, variables, cfg: GroveConfig, tokenizer,
         if progress:
             print(f"[{rank}] clips {[s['video_id'] for s in samples]}: "
                   f"{time.time() - t0:.1f}s", flush=True)
+    pool.shutdown(wait=False)
     return video_outputs
 
 
