@@ -204,10 +204,13 @@ def sam_attention_with_relpos(q, k, v, rel_pos_h, rel_pos_w,
     """
     h, w = hw
     s = q.shape[1]
-    conforming = (s == h * w and s % 128 == 0)
+    conforming = s == h * w   # any grid: block selection handles alignment
     use_pallas = (impl == "pallas" or
                   (impl == "auto" and jax.default_backend() == "tpu"
                    and conforming))
     if use_pallas:
-        return _fused_with_vjp(q, k, v, rel_pos_h, rel_pos_w, hw)
+        # fully fused: flash forward + flash backward (incl. rel-table
+        # gradients) — see ops/sam_attention_bwd.py
+        from .sam_attention_bwd import relpos_flash_attention
+        return relpos_flash_attention(q, k, v, rel_pos_h, rel_pos_w, hw)
     return _xla_relpos_attention(q, k, v, rel_pos_h, rel_pos_w, hw)
