@@ -330,6 +330,9 @@ def main(argv=None):
 
     from ..train.driver import build_tokenizer
     tokenizer = build_tokenizer(args, cfg)
+    import dataclasses
+    from ..text.tokenizer import special_token_ids_from
+    cfg = dataclasses.replace(cfg, tokens=special_token_ids_from(tokenizer))
 
     import jax.numpy as jnp
     from ..models.grove import init_grove_params

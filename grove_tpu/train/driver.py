@@ -235,9 +235,11 @@ def validate(model, params, loader, cfg, args):
             giou_m.update(float(g.mean()), int(mask.sum()))
         if obj_logits is not None:
             vm = np.broadcast_to(pm, gt_obj.shape).astype(bool)
-            pred_obj = (obj_logits > 0)[vm]
-            acc_m.update(float((pred_obj == gt_obj[vm].astype(bool)).mean()),
-                         int(vm.sum()))
+            if vm.any():
+                pred_obj = (obj_logits > 0)[vm]
+                acc_m.update(
+                    float((pred_obj == gt_obj[vm].astype(bool)).mean()),
+                    int(vm.sum()))
     for m in (giou_m, acc_m, loss_m):
         m.all_reduce()
     if args.val_mode == "loss":
@@ -256,6 +258,11 @@ def _run(args):
 
     cfg = build_config(args)
     tokenizer = build_tokenizer(args, cfg)
+    # special-token ids must come from the ACTUAL tokenizer (the config
+    # defaults assume the published 32000-base vocab)
+    import dataclasses
+    from ..text.tokenizer import special_token_ids_from
+    cfg = dataclasses.replace(cfg, tokens=special_token_ids_from(tokenizer))
     train_ds, val_ds = build_datasets(args, cfg)
 
     mesh = make_mesh(model=args.mesh_model)
