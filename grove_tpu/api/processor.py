@@ -18,7 +18,7 @@ import numpy as np
 from ..config import GroveConfig
 from ..data.preprocess import preprocess_frames
 from ..data.video import VideoDecoder
-from ..infer.sliding import infer_clip
+from ..infer.sliding import infer_clip, infer_clips_batched
 from ..text.prompts import VIDEO_GROUNDING_QUESTIONS
 
 DEFAULT_INSTRUCTION = VIDEO_GROUNDING_QUESTIONS[0]
@@ -66,4 +66,31 @@ class GroveProcessor:
             model, variables, self.cfg, self.tokenizer, frames_clip,
             frames_sam, original_size, instruction=instruction,
             max_new_tokens=max_new_tokens,
+            threshold=temp_objectness_threshold)
+
+    def generate_batch(self, model, variables, video_paths,
+                       instructions=None, max_new_tokens: int = 64,
+                       temp_objectness_threshold: Optional[float] = None):
+        """Batched `generate` over several clips in one device launch.
+
+        `instructions` may be None (default prompt), one string (shared), or
+        a per-clip list — unequal prompts are left-padded and decoded in
+        lockstep (grove_tpu extension; the reference processes clips one at
+        a time, `infer_iground.py:150-295`). Returns a list of output dicts
+        in input order.
+        """
+        samples = []
+        for vp in video_paths:
+            frames = self.decode_video(vp)
+            if frames.size == 0:
+                raise ValueError(f"No frames decoded from {vp}")
+            fc, fs = preprocess_frames(
+                frames, self.cfg.clip.image_size, self.cfg.sam_enc.img_size)
+            samples.append({
+                "frames_clip": fc, "frames_sam": fs,
+                "original_size": (frames.shape[2], frames.shape[1]),
+            })
+        return infer_clips_batched(
+            model, variables, self.cfg, self.tokenizer, samples,
+            instruction=instructions, max_new_tokens=max_new_tokens,
             threshold=temp_objectness_threshold)

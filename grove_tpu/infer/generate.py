@@ -32,20 +32,20 @@ def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
     """One fused jit: prefill + full greedy scan (single device launch)."""
 
     @jax.jit
-    def run(variables, spliced_ids, video_embeds, video_start):
+    def run(variables, spliced_ids, video_embeds, video_start, pad_lens):
         cfg = model.cfg
         b = spliced_ids.shape[0]
         caches = init_kv_caches(cfg.llama, b, ls + max_new_tokens,
                                 dtype=cache_dtype)
         prefill_hidden, logits, caches = model.apply(
             variables, spliced_ids, video_embeds, video_start, caches,
-            method=GroveModel.prefill)
+            pad_lens, method=GroveModel.prefill)
         first_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
 
         def step(carry, i):
             tok, caches, done = carry
             hidden, logits, caches = model.apply(
-                variables, tok[:, None], ls + i, caches,
+                variables, tok[:, None], ls + i, caches, pad_lens,
                 method=GroveModel.decode_step)
             next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             emitted = jnp.where(done, pad_id, tok)
@@ -66,22 +66,52 @@ def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
 
 def greedy_decode(model: GroveModel, variables, spliced_ids, video_embeds,
                   video_start, *, max_new_tokens: int, eos_id: int,
-                  pad_id: int = 0, cache_dtype=jnp.bfloat16):
-    """Greedy generation. spliced_ids: (B, Ls) unpadded equal-length prompts.
+                  pad_id: int = 0, cache_dtype=jnp.bfloat16, pad_lens=None):
+    """Greedy generation. spliced_ids: (B, Ls); unequal prompts arrive
+    LEFT-padded with `pad_lens` (B,) set (see `left_pad_prompts`).
 
     Returns (generated_ids (B, max_new), hidden (B, Ls+max_new, D)).
     """
     b, ls = spliced_ids.shape
+    if pad_lens is None:
+        pad_lens = jnp.zeros((b,), jnp.int32)
     fn = _decode_fn(model, ls, max_new_tokens, int(eos_id), int(pad_id),
                     cache_dtype)
-    return fn(variables, spliced_ids, video_embeds, video_start)
+    return fn(variables, spliced_ids, video_embeds, video_start,
+              jnp.asarray(pad_lens, jnp.int32))
+
+
+def left_pad_prompts(prompts, video_starts, pad_id: int = 0,
+                     pad_to_multiple: Optional[int] = None):
+    """Ragged spliced prompts -> (ids (B, Lmax), video_start, pad_lens).
+
+    Left padding keeps every prompt's last token at position Lmax-1 so the
+    batched greedy scan stays in lockstep; attention masks the pad slots and
+    RoPE positions are shifted per sample (prefill/decode_step).
+    `pad_to_multiple` buckets Lmax so distinct prompt-length mixes reuse a
+    handful of compiled decode shapes."""
+    lens = [len(p) for p in prompts]
+    lmax = max(lens)
+    if pad_to_multiple:
+        lmax = -(-lmax // pad_to_multiple) * pad_to_multiple
+    b = len(prompts)
+    ids = np.full((b, lmax), pad_id, np.int32)
+    pad_lens = np.zeros((b,), np.int32)
+    starts = np.asarray(video_starts, np.int64).copy()
+    for i, p in enumerate(prompts):
+        pad = lmax - lens[i]
+        ids[i, pad:] = np.asarray(p, np.int32)
+        pad_lens[i] = pad
+        if starts[i] >= 0:
+            starts[i] += pad
+    return ids, starts.astype(np.int32), pad_lens
 
 
 def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
                       tokenizer, spliced_ids: np.ndarray,
                       video_start: np.ndarray,
                       frames_clip, frames_sam, *,
-                      max_new_tokens: int = 64) -> Dict:
+                      max_new_tokens: int = 64, pad_lens=None) -> Dict:
     """Single-call grounded caption generation (evaluate-mode equivalent).
 
     Host orchestration: encoders -> greedy decode -> host det-position
@@ -94,7 +124,7 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
     gen_ids, hidden = greedy_decode(
         model, variables, jnp.asarray(spliced_ids), video_embeds,
         jnp.asarray(video_start), max_new_tokens=max_new_tokens,
-        eos_id=cfg.tokens.eos, pad_id=cfg.tokens.pad)
+        eos_id=cfg.tokens.eos, pad_id=cfg.tokens.pad, pad_lens=pad_lens)
 
     gen_np = np.asarray(gen_ids)
     full_ids = np.concatenate([np.asarray(spliced_ids), gen_np], axis=1)

@@ -29,7 +29,7 @@ from ..models.grove import GroveModel
 from ..text import tagging
 from ..text.packing import pack_text
 from ..text.prompts import grounding_prompt, tokenize_with_video
-from .generate import generate_grounded
+from .generate import generate_grounded, left_pad_prompts
 from .jit_utils import apply_jit
 
 
@@ -296,12 +296,16 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
     The iGround instruction prompt is FIXED (`infer_iground.py:62-85`), so
     the expensive center-window generation (encoders + prefill + 64-step
     decode) batches trivially across clips — one device launch for the whole
-    group. The per-clip teacher-forced window passes then run as in
-    `infer_clip`. Returns a list of per-clip output dicts.
+    group. `instruction` may also be a per-clip list of strings: unequal
+    prompts are LEFT-padded (`left_pad_prompts`) and decoded in lockstep
+    with pad slots masked out of attention. The per-clip teacher-forced
+    window passes then run as in `infer_clip`. Returns a list of per-clip
+    output dicts.
     """
     threshold = (threshold if threshold is not None
                  else cfg.temp_objectness_threshold)
     nf = cfg.num_frames
+    b = len(samples)
     metas = []
     fc_centers, fs_centers = [], []
     for s in samples:
@@ -313,23 +317,39 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
         fc_centers.append(s["frames_clip"][center])
         fs_centers.append(s["frames_sam"][center])
 
-    prompt = grounding_prompt(question=instruction)
-    prompt_ids = tokenize_with_video(prompt, tokenizer)
-    packed = pack_text(prompt_ids, None, tokenizer,
-                       num_video_tokens=cfg.num_video_tokens,
-                       max_spliced_len=len(prompt_ids) - 1
-                       + cfg.num_video_tokens,
-                       det_token_id=cfg.tokens.det,
-                       max_phrases=cfg.max_phrases,
-                       pad_id=tokenizer.pad_token_id, with_labels=False)
+    if isinstance(instruction, (list, tuple)):
+        instructions = list(instruction)
+        assert len(instructions) == b
+    else:
+        instructions = [instruction] * b
 
-    b = len(samples)
+    prompt_rows, starts = [], []
+    for ins in instructions:
+        prompt_ids = tokenize_with_video(grounding_prompt(question=ins),
+                                         tokenizer)
+        packed = pack_text(prompt_ids, None, tokenizer,
+                           num_video_tokens=cfg.num_video_tokens,
+                           max_spliced_len=len(prompt_ids) - 1
+                           + cfg.num_video_tokens,
+                           det_token_id=cfg.tokens.det,
+                           max_phrases=cfg.max_phrases,
+                           pad_id=tokenizer.pad_token_id, with_labels=False)
+        prompt_rows.append(packed.input_ids)
+        starts.append(int(packed.video_start))
+
+    if len({len(r) for r in prompt_rows}) == 1:
+        ids = np.stack(prompt_rows)
+        vs = np.asarray(starts, np.int32)
+        pad_lens = None
+    else:
+        ids, vs, pad_lens = left_pad_prompts(
+            prompt_rows, starts, pad_id=tokenizer.pad_token_id,
+            pad_to_multiple=64)
+
     gen = generate_grounded(
-        model, variables, cfg, tokenizer,
-        np.tile(packed.input_ids[None], (b, 1)),
-        np.full((b,), int(packed.video_start), np.int32),
+        model, variables, cfg, tokenizer, ids, vs,
         jnp.asarray(np.stack(fc_centers)), jnp.asarray(np.stack(fs_centers)),
-        max_new_tokens=max_new_tokens)
+        max_new_tokens=max_new_tokens, pad_lens=pad_lens)
 
     outputs = []
     for i, (s, (windows, masks, ci, center)) in enumerate(zip(samples,
@@ -351,6 +371,6 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
         outputs.append(_finish_clip(
             model, variables, cfg, tokenizer, s["frames_clip"],
             s["frames_sam"], s["original_size"], windows, masks, ci, center,
-            text_output, parsed, phrases, num_dets, threshold, instruction,
-            all_bboxes, all_labels, all_probs))
+            text_output, parsed, phrases, num_dets, threshold,
+            instructions[i], all_bboxes, all_labels, all_probs))
     return outputs

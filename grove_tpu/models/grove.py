@@ -184,24 +184,32 @@ class GroveModel(nn.Module):
         logits = self.lm_head(hidden)
         return hidden, logits
 
-    def prefill(self, input_ids, video_embeds, video_start, kv_caches):
-        """Prompt pass writing the KV cache; prompts must be unpadded
-        (equal length across the batch, as in the reference's fixed
-        inference instruction)."""
+    def prefill(self, input_ids, video_embeds, video_start, kv_caches,
+                pad_lens=None):
+        """Prompt pass writing the KV cache.
+
+        Equal-length prompts need no padding (the reference's fixed
+        inference instruction). Unequal prompts are LEFT-padded by the
+        caller, which passes `pad_lens` (B,); padded slots are masked from
+        attention and RoPE positions start at each sample's true start."""
         x = self._splice(input_ids, video_embeds, video_start)
         positions = jnp.broadcast_to(
             jnp.arange(input_ids.shape[1])[None, :], input_ids.shape)
+        if pad_lens is not None:
+            positions = jnp.maximum(positions - pad_lens[:, None], 0)
         hidden, caches = self.llama(x, positions, kv_caches=kv_caches,
-                                    cache_offset=0)
+                                    cache_offset=0, pad_lens=pad_lens)
         logits = self.lm_head(hidden[:, -1:])
         return hidden, logits, caches
 
-    def decode_step(self, token, pos, kv_caches):
+    def decode_step(self, token, pos, kv_caches, pad_lens=None):
         """One greedy step. token: (B, 1) ids; pos: scalar position."""
         x = self.embed_tokens(token)
         positions = jnp.full(token.shape, pos, dtype=jnp.int32)
+        if pad_lens is not None:
+            positions = positions - pad_lens[:, None]
         hidden, caches = self.llama(x, positions, kv_caches=kv_caches,
-                                    cache_offset=pos)
+                                    cache_offset=pos, pad_lens=pad_lens)
         logits = self.lm_head(hidden)
         return hidden, logits, caches
 

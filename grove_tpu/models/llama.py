@@ -75,7 +75,10 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_offset=None,
-                 attn_mask=None):
+                 attn_mask=None, pad_lens=None):
+        """pad_lens (B,): number of LEFT-pad positions per sample; padded
+        cache slots are masked out of every query's attention (enables
+        batched generation over unequal-length prompts)."""
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
@@ -126,6 +129,12 @@ class LlamaAttention(nn.Module):
             kpos = jnp.arange(cache_len)[None, None, None, :]
             qpos = cache_offset + jnp.arange(s)[None, None, :, None]
             mask = kpos <= qpos  # causal over the cache
+            if pad_lens is not None:
+                # exclude left-pad slots, but keep self-attention for the
+                # pad rows themselves: a fully-masked row softmaxes to NaN
+                # and 0 * NaN poisons later layers through their k/v
+                mask = mask & ((kpos >= pad_lens[:, None, None, None])
+                               | (kpos == qpos))
             out = xla_attention(q, kk.astype(q.dtype), vv.astype(q.dtype),
                                 mask=mask)
 
@@ -157,11 +166,11 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_offset=None,
-                 attn_mask=None):
+                 attn_mask=None, pad_lens=None):
         h = RMSNorm(eps=self.cfg.rms_norm_eps, name="input_layernorm")(x)
         attn_out, new_cache = LlamaAttention(
             self.cfg, dtype=self.dtype, name="self_attn")(
-                h, positions, kv_cache, cache_offset, attn_mask)
+                h, positions, kv_cache, cache_offset, attn_mask, pad_lens)
         x = x + attn_out
         h = RMSNorm(eps=self.cfg.rms_norm_eps,
                     name="post_attention_layernorm")(x)
@@ -177,7 +186,7 @@ class LlamaModel(nn.Module):
 
     @nn.compact
     def __call__(self, inputs_embeds, positions, kv_caches=None,
-                 cache_offset=None, attn_mask=None):
+                 cache_offset=None, attn_mask=None, pad_lens=None):
         x = inputs_embeds.astype(self.dtype)
         new_caches = [] if kv_caches is not None else None
         block_cls = LlamaBlock
@@ -187,7 +196,7 @@ class LlamaModel(nn.Module):
             cache_i = kv_caches[i] if kv_caches is not None else None
             x, nc = block_cls(self.cfg, dtype=self.dtype,
                               name=f"layers_{i}")(
-                x, positions, cache_i, cache_offset, attn_mask)
+                x, positions, cache_i, cache_offset, attn_mask, pad_lens)
             if new_caches is not None:
                 new_caches.append(nc)
         x = RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)

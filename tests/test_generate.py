@@ -80,3 +80,44 @@ def test_generate_grounded_outputs(setup, rng):
     assert out["pred_boxes"].shape == (1, t, cfg.max_phrases, 4)
     assert out["objectness_logits"].shape == (1, t, cfg.max_phrases)
     assert isinstance(out["parsed"][0]["text"], str)
+
+
+def test_ragged_batched_decode_matches_single(setup, rng):
+    """Left-padded batched generation == per-sample unpadded generation."""
+    import dataclasses
+    from grove_tpu.infer.generate import left_pad_prompts
+    cfg, model, variables = setup
+    nv = cfg.num_video_tokens
+    # two prompts of different lengths, shared feats per sample
+    ids_a, vs_a, feats_a = _prompt(cfg, rng)
+    ls_b = nv + 11
+    ids_b = rng.integers(3, 100, size=(1, ls_b)).astype(np.int32)
+    ids_b[:, 0] = cfg.tokens.bos
+    ids_b[:, 3:3 + nv] = 0
+    vs_b = np.full((1,), 3, np.int32)
+    feats_b = rng.normal(size=(1, nv, cfg.llama.hidden_size)).astype(
+        np.float32)
+
+    max_new = 5
+    # singles
+    g_a, _ = greedy_decode(model, variables, jnp.asarray(ids_a),
+                           jnp.asarray(feats_a), jnp.asarray(vs_a),
+                           max_new_tokens=max_new, eos_id=cfg.tokens.eos,
+                           cache_dtype=jnp.float32)
+    g_b, _ = greedy_decode(model, variables, jnp.asarray(ids_b),
+                           jnp.asarray(feats_b), jnp.asarray(vs_b),
+                           max_new_tokens=max_new, eos_id=cfg.tokens.eos,
+                           cache_dtype=jnp.float32)
+
+    # ragged batch
+    ids_p, vs_p, pad_lens = left_pad_prompts(
+        [ids_a[0], ids_b[0]], [int(vs_a[0]), int(vs_b[0])],
+        pad_id=cfg.tokens.pad)
+    feats = np.concatenate([feats_a, feats_b], axis=0)
+    g_batch, hidden = greedy_decode(
+        model, variables, jnp.asarray(ids_p), jnp.asarray(feats),
+        jnp.asarray(vs_p), max_new_tokens=max_new, eos_id=cfg.tokens.eos,
+        cache_dtype=jnp.float32, pad_lens=pad_lens)
+    gb = np.asarray(g_batch)
+    assert gb[0].tolist() == np.asarray(g_a)[0].tolist()
+    assert gb[1].tolist() == np.asarray(g_b)[0].tolist()

@@ -113,6 +113,62 @@ def test_kv_cache_decode_matches_full_forward(rng):
             rtol=2e-4, atol=2e-5, err_msg=f"step {i}")
 
 
+def test_gqa_kv_cache_decode_matches_full_forward(rng):
+    """Grouped-query attention (num_kv_heads < num_heads) through both the
+    pure-self-attention path and the cache decode path."""
+    import dataclasses
+    cfg = dataclasses.replace(LlamaConfig.tiny(), num_kv_heads=2)
+    assert cfg.num_kv_heads < cfg.num_heads
+    model = LlamaModel(cfg, dtype=jnp.float32)
+    B, L = 2, 10
+    x = jnp.asarray(rng.normal(size=(B, L, cfg.hidden_size)), jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+    variables = model.init(jax.random.PRNGKey(0), x, positions)
+    full_hidden, _ = model.apply(variables, x, positions)
+
+    caches = init_kv_caches(cfg, B, L, dtype=jnp.float32)
+    prefix = 6
+    h, caches = model.apply(variables, x[:, :prefix], positions[:, :prefix],
+                            kv_caches=caches, cache_offset=0)
+    np.testing.assert_allclose(np.asarray(h),
+                               np.asarray(full_hidden[:, :prefix]),
+                               rtol=2e-4, atol=2e-5)
+    for i in range(prefix, L):
+        h, caches = model.apply(variables, x[:, i:i + 1],
+                                positions[:, i:i + 1],
+                                kv_caches=caches, cache_offset=i)
+        np.testing.assert_allclose(
+            np.asarray(h[:, 0]), np.asarray(full_hidden[:, i]),
+            rtol=2e-4, atol=2e-5, err_msg=f"step {i}")
+
+
+def test_left_padded_prefill_matches_unpadded(rng):
+    """pad_lens masking: a LEFT-padded prefill reproduces the unpadded
+    hidden states at every real position (pad rows attend only themselves
+    so they stay finite and never leak through later layers' k/v)."""
+    cfg = LlamaConfig.tiny()
+    model = LlamaModel(cfg, dtype=jnp.float32)
+    L, pad = 9, 4
+    x = jnp.asarray(rng.normal(size=(1, L, cfg.hidden_size)), jnp.float32)
+    positions = jnp.arange(L)[None]
+    variables = model.init(jax.random.PRNGKey(0), x, positions)
+
+    caches = init_kv_caches(cfg, 1, L, dtype=jnp.float32)
+    h_ref, _ = model.apply(variables, x, positions, kv_caches=caches,
+                           cache_offset=0)
+
+    x_pad = jnp.concatenate(
+        [jnp.zeros((1, pad, cfg.hidden_size), jnp.float32), x], axis=1)
+    pos_pad = jnp.maximum(jnp.arange(L + pad)[None] - pad, 0)
+    caches_p = init_kv_caches(cfg, 1, L + pad, dtype=jnp.float32)
+    h_pad, _ = model.apply(variables, x_pad, pos_pad, kv_caches=caches_p,
+                           cache_offset=0,
+                           pad_lens=jnp.asarray([pad], jnp.int32))
+    assert np.isfinite(np.asarray(h_pad)).all()
+    np.testing.assert_allclose(np.asarray(h_pad[:, pad:]),
+                               np.asarray(h_ref), rtol=2e-4, atol=2e-5)
+
+
 def test_segment_promptable_masks(tiny_setup, rng):
     """Legacy SAM mask path: point/box prompts -> mask logits + IoU."""
     cfg, model, variables = tiny_setup

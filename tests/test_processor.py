@@ -19,13 +19,13 @@ def setup(tmp_path_factory):
                                          dtype=jnp.float32)
     root = tmp_path_factory.mktemp("proc")
     _, video_dir, keys = make_synthetic_howto_dataset(
-        str(root), num_videos=1, num_frames=20)
-    video = f"{video_dir}/{keys[0]}.gif"
-    return cfg, model, variables, video
+        str(root), num_videos=2, num_frames=20)
+    videos = [f"{video_dir}/{k}.gif" for k in keys]
+    return cfg, model, variables, videos[0], videos
 
 
 def test_processor_generate_full_clip(setup):
-    cfg, model, variables, video = setup
+    cfg, model, variables, video, _ = setup
     tok = MockTokenizer()
     proc = GroveProcessor(tok, cfg, fps=5.0)
     out = proc.generate(model, variables, video, max_new_tokens=8)
@@ -48,10 +48,33 @@ def test_processor_generate_full_clip(setup):
 
 def test_processor_no_dets_graceful(setup):
     """A generation with zero [DET] tokens must not crash."""
-    cfg, model, variables, video = setup
+    cfg, model, variables, video, _ = setup
     tok = MockTokenizer()
     proc = GroveProcessor(tok, cfg, fps=5.0)
     # random tiny model may or may not emit DET; force a tiny budget so the
     # odds of zero dets are high, and assert the call succeeds either way
     out = proc.generate(model, variables, video, max_new_tokens=2)
     assert len(out["frame_indices"]) >= cfg.num_frames
+
+
+def test_processor_generate_batch_ragged_instructions(setup):
+    """Batched generation with per-clip (different-length) instructions
+    matches the per-clip singles — exercises the left-padded ragged decode
+    end-to-end through the public API."""
+    cfg, model, variables, _, videos = setup
+    tok = MockTokenizer()
+    proc = GroveProcessor(tok, cfg, fps=5.0)
+    instructions = ["describe briefly",
+                    "describe every object and action you can see"]
+    singles = [proc.generate(model, variables, v, instruction=ins,
+                             max_new_tokens=4)
+               for v, ins in zip(videos, instructions)]
+    batched = proc.generate_batch(model, variables, videos,
+                                  instructions=instructions,
+                                  max_new_tokens=4)
+    assert len(batched) == 2
+    for one, few in zip(singles, batched):
+        assert few["text"] == one["text"]
+        assert few["frame_indices"] == one["frame_indices"]
+        for ba, bb in zip(one["bboxes"], few["bboxes"]):
+            np.testing.assert_allclose(ba, bb, rtol=2e-3, atol=2e-3)
