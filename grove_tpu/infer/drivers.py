@@ -490,6 +490,10 @@ def run_anet_inference(dataset, model, variables, cfg: GroveConfig,
         text_output = raw.replace("\n", "").replace("  ", " ")
         if "ASSISTANT: " in text_output:
             text_output = text_output.split("ASSISTANT: ")[-1]
+        # generic markup repair (replaces the reference's hand-written
+        # per-string fix-up table for malformed ANet generations,
+        # `infer_anet.py:194-213`); text-only — boxes stay as generated
+        text_output = tagging.repair_generation(text_output)
         parsed = tagging.parse_generation(text_output)
         phrases = parsed["phrases"]
         num_dets = int(gen["phrase_mask"][0].sum())

@@ -1,9 +1,11 @@
 """Conversation prompt templates.
 
 Functional re-design of the reference's `model/llava/conversation.py`
-(dataclass with separator-style enum). Only the templates actually used by
-GROVE flows are kept: `llava_v1` (Vicuna v1, SeparatorStyle.TWO,
-`conversation.py:355-365`) and `llava_llama_2`.
+(dataclass with separator-style enum). GROVE flows use `llava_v1`
+(Vicuna v1, SeparatorStyle.TWO, `conversation.py:355-365`) and
+`llava_llama_2`; the remaining separator styles the reference declares
+(SINGLE / MPT / PLAIN, `conversation.py:6-105`) are provided as subclasses
+for template completeness.
 """
 
 from __future__ import annotations
@@ -81,7 +83,62 @@ LLAVA_LLAMA_2 = Llama2Conversation(
     sep2="</s>",
 )
 
-CONV_TEMPLATES = {"llava_v1": LLAVA_V1, "llava_llama_2": LLAVA_LLAMA_2}
+
+@dataclasses.dataclass
+class SingleSepConversation(Conversation):
+    """SeparatorStyle.SINGLE: one separator after every turn."""
+
+    def get_prompt(self) -> str:
+        ret = self.system + self.sep
+        for role, message in self.messages:
+            if message:
+                ret += role + ": " + message + self.sep
+            else:
+                ret += role + ":"
+        return ret
+
+
+@dataclasses.dataclass
+class MptConversation(Conversation):
+    """SeparatorStyle.MPT: role tag directly concatenated with the message."""
+
+    def get_prompt(self) -> str:
+        ret = self.system + self.sep
+        for role, message in self.messages:
+            if message:
+                ret += role + message + self.sep
+            else:
+                ret += role
+        return ret
+
+
+@dataclasses.dataclass
+class PlainConversation(Conversation):
+    """SeparatorStyle.PLAIN: messages only, alternating sep/sep2, no roles."""
+
+    def get_prompt(self) -> str:
+        seps = [self.sep, self.sep2]
+        ret = self.system
+        for i, (_, message) in enumerate(self.messages):
+            if message:
+                ret += message + seps[i % 2]
+        return ret
+
+
+LLAVA_V0 = SingleSepConversation(
+    system=("A chat between a curious human and an artificial intelligence "
+            "assistant. The assistant gives helpful, detailed, and polite "
+            "answers to the human's questions."),
+    roles=("Human", "Assistant"),
+    sep="###",
+    sep2="",
+)
+
+LLAVA_PLAIN = PlainConversation(system="", roles=("", ""), sep="",
+                                sep2="\n")
+
+CONV_TEMPLATES = {"llava_v1": LLAVA_V1, "llava_llama_2": LLAVA_LLAMA_2,
+                  "llava_v0": LLAVA_V0, "plain": LLAVA_PLAIN}
 
 
 def build_prompt(instruction: str, answer: str = "",

@@ -56,6 +56,62 @@ def strip_det_only(text: str) -> str:
     return " ".join(cleaned.split()).strip("'").strip()
 
 
+def repair_generation(text: str) -> str:
+    """Generic repair of malformed grounded-caption markup.
+
+    The reference patches specific malformed ANet generations by hand
+    (`infer_anet.py:194-213`, a table of literal string replacements tied to
+    its checkpoint). Those fix-ups encode two malformation classes, which we
+    repair generically instead:
+
+      1. an orphan ``</p>`` with no opening ``<p>`` — the phrase words since
+         the previous ``[DET]`` (or segment start) get an inserted ``<p>``;
+      2. a bare ``[DET]`` not preceded by a ``<p>…</p>`` phrase — a
+         placeholder ``<p> object </p>`` is inserted (matching the
+         reference's choice of the word "object" for unattributable dets).
+
+    Well-formed text passes through unchanged.
+    """
+    toks = text.split(" ")
+    out: List[str] = []
+    open_idx = None          # index in `out` of the pending "<p>"
+    closed_since_det = False  # a full <p>..</p> seen since the last [DET]
+    for tk in toks:
+        if tk == BOP_TOKEN:
+            if open_idx is not None:
+                # nested open: drop the earlier unclosed one
+                out.pop(open_idx)
+            out.append(tk)
+            open_idx = len(out) - 1
+        elif tk == EOP_TOKEN:
+            if open_idx is None:
+                # orphan close: open the phrase after the previous [DET]
+                start = len(out)
+                for j in range(len(out) - 1, -1, -1):
+                    if out[j] in (DET_TOKEN, EOP_TOKEN):
+                        break
+                    start = j
+                out.insert(start, BOP_TOKEN)
+            out.append(tk)
+            open_idx = None
+            closed_since_det = True
+        elif tk == DET_TOKEN:
+            if open_idx is not None:
+                # det inside an open phrase: close it first
+                out.append(EOP_TOKEN)
+                open_idx = None
+                closed_since_det = True
+            if not closed_since_det:
+                out.extend([BOP_TOKEN, "object", EOP_TOKEN])
+            out.append(tk)
+            closed_since_det = False
+        else:
+            out.append(tk)
+    if open_idx is not None:
+        out.pop(open_idx)   # trailing unclosed <p>: drop the tag
+    return " ".join(t for t in out if t)
+
+
 def parse_generation(text_output: str) -> dict:
     """Post-process a raw decoded generation into the public output fields.
 

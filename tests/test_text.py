@@ -32,6 +32,43 @@ def test_parse_generation_fields():
     assert "[DET]" not in out["text_tagged"]
 
 
+def test_repair_generation_well_formed_unchanged():
+    text = "<p> a cat </p> [DET] sits on <p> the mat </p> [DET]"
+    assert tagging.repair_generation(text) == text
+
+
+def test_repair_generation_orphan_close():
+    # split-word phrase: ".. <p> note </p> [DET] book </p> [DET]" — the
+    # orphan </p> must gain an opening <p> after the previous [DET]
+    text = "holds a <p> note </p> [DET] book </p> [DET] open"
+    fixed = tagging.repair_generation(text)
+    assert tagging.extract_phrases(fixed) == ["note", "book"]
+    assert fixed.count("[DET]") == 2
+
+
+def test_repair_generation_bare_det():
+    # "[DET] [DET]" with no phrase between → placeholder phrase inserted
+    text = "the <p> words </p> [DET] [DET] <p> logo </p> [DET] appear"
+    fixed = tagging.repair_generation(text)
+    assert tagging.extract_phrases(fixed) == ["words", "object", "logo"]
+    assert fixed.count("[DET]") == 3
+
+
+def test_repair_generation_unclosed_open_dropped():
+    text = "a <p> person walks"
+    fixed = tagging.repair_generation(text)
+    assert "<p>" not in fixed
+    assert tagging.strip_tags(fixed) == "a person walks"
+
+
+def test_repair_generation_det_inside_open_phrase():
+    # "<p> skate [DET] park" — det fires inside an open phrase: close it
+    text = "riding a <p> skate [DET] park"
+    fixed = tagging.repair_generation(text)
+    assert tagging.extract_phrases(fixed) == ["skate"]
+    assert fixed.count("[DET]") == 1
+
+
 def test_tokenize_with_video_single_sentinel(mock_tokenizer):
     prompt = grounding_prompt()
     ids = tokenize_with_video(prompt, mock_tokenizer)
