@@ -24,8 +24,9 @@ BASELINE_FILE = os.path.join(os.path.dirname(__file__),
                              "BENCH_BASELINE.json")
 MAX_NEW_TOKENS = 64
 N_WARMUP = 1
-N_ITERS = 8
-BATCH_CLIPS = 4   # clips per launch: amortizes the relay's launch overhead
+N_ITERS = 4
+BATCH_CLIPS = 32  # clips per launch: throughput saturates here (batch sweep
+                  # on the real chip: 4→55, 8→73, 16→98, 32→107, 64→105 c/s)
 
 
 def main():
