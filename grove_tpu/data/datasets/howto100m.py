@@ -66,13 +66,25 @@ def parse_howto_annotation(ann_info: Dict, video_dir: str) -> ClipAnnotation:
 
 class HowTo100MDataset(GroundingVideoDataset):
     def __init__(self, ann_dir: str, video_dir: str,
-                 keys: Optional[Sequence[str]] = None, **kw):
+                 keys: Optional[Sequence[str]] = None,
+                 manifest: Optional[str] = None,
+                 shard_rank: int = 0, shard_world: int = 1, **kw):
+        """`manifest` enables streaming-scale startup: keys come from a
+        prebuilt manifest file (tools/build_index.py) and only this host's
+        `shard_rank::shard_world` stride is loaded (see data/index.py) —
+        no directory walk, 1/world index memory. Without it, keys are
+        listed from `ann_dir` (reference `HowTo100M.py:57-60` behavior)."""
         super().__init__(**kw)
         self.ann_dir = ann_dir
         self.video_dir = video_dir
         if keys is None:
-            keys = sorted(os.path.splitext(f)[0]
-                          for f in os.listdir(ann_dir) if f.endswith(".pkl"))
+            if manifest is not None:
+                from ..index import read_manifest
+                keys = read_manifest(manifest, shard_rank, shard_world)
+            else:
+                keys = sorted(
+                    os.path.splitext(f)[0]
+                    for f in os.listdir(ann_dir) if f.endswith(".pkl"))
         self.keys = list(keys)
 
     def __len__(self):

@@ -63,6 +63,10 @@ def parse_args(args=None):
                    help="in-process elastic restarts on failure "
                         "(torchrun --max_restarts equivalent)")
     p.add_argument("--ann_dir", default=None)
+    p.add_argument("--manifest", default=None,
+                   help="prebuilt key manifest (tools/build_index.py) for "
+                        "streaming-scale startup; shards the index across "
+                        "hosts instead of listing ann_dir")
     p.add_argument("--video_dir", default=None)
     p.add_argument("--val_ann_dir", default=None)
     p.add_argument("--val_video_dir", default=None)
@@ -186,9 +190,16 @@ def build_datasets(args, cfg):
             **anet_common) if args.val_ann_dir else None)
     else:
         from ..data.datasets.howto100m import HowTo100MDataset
+        shard = {}
+        if getattr(args, "manifest", None):
+            # streaming-scale: pre-shard the index across hosts; the loader
+            # then must not shard again (see build_loaders)
+            shard = dict(manifest=args.manifest,
+                         shard_rank=jax.process_index(),
+                         shard_world=jax.process_count())
         train_ds = HowTo100MDataset(ann_dir=args.ann_dir,
                                     video_dir=args.video_dir,
-                                    validation=False, **common)
+                                    validation=False, **shard, **common)
         val_ds = (HowTo100MDataset(ann_dir=args.val_ann_dir,
                                    video_dir=args.val_video_dir,
                                    validation=True, **common)
@@ -334,10 +345,15 @@ def _run(args):
                                 VIDEO_STG_QUESTIONS)
     qts = (VIDEO_STG_QUESTIONS if args.dataset == "VidSTG"
            else VIDEO_GROUNDING_QUESTIONS)
+    # with a manifest the dataset is already host-sharded — the loader must
+    # not stride it again (shuffle then happens shard-locally, which is the
+    # streaming-scale recipe; see data/index.py)
+    presharded = (dict(process_index=0, process_count=1)
+                  if getattr(args, "manifest", None) else {})
     loader = GroundingLoader(train_ds, tokenizer, cfg,
                              batch_size=args.batch_size,
                              num_workers=args.num_workers, seed=args.seed,
-                             question_templates=qts)
+                             question_templates=qts, **presharded)
     val_loader = None
     if val_ds is not None:
         val_loader = GroundingLoader(val_ds, tokenizer, cfg,

@@ -103,3 +103,59 @@ def test_center_window_index():
     _, masks = sliding_segment_with_mask(48, 8)
     c = center_window_index(masks)
     assert all(masks[c]) or c == 0
+
+
+def test_manifest_sharded_index(tmp_path):
+    """Manifest build + strided host shards: disjoint cover with
+    DistributedSampler-style wrap padding, deterministic epoch shuffles."""
+    from grove_tpu.data.index import (ShardedKeyIndex, build_manifest,
+                                      read_manifest)
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    n = 11
+    for i in range(n):
+        (ann / f"vid{i:04d}.pkl").write_bytes(b"x")
+    (ann / "notes.txt").write_bytes(b"skip me")
+    man = str(tmp_path / "manifest.txt")
+    assert build_manifest(str(ann), man) == n
+
+    world = 4
+    shards = [read_manifest(man, r, world) for r in range(world)]
+    per = -(-n // world)
+    assert all(len(s) == per for s in shards)
+    flat = [k for s in shards for k in s]
+    # every key covered; exactly per*world - n wrap-duplicates
+    assert set(flat) == {f"vid{i:04d}" for i in range(n)}
+    assert len(flat) - len(set(flat)) == per * world - n
+    # shards are strided: rank r holds keys r, r+world, ...
+    assert shards[1][0] == "vid0001" and shards[1][1] == "vid0005"
+
+    idx = ShardedKeyIndex(man, rank=2, world=world, seed=7)
+    e0a, e0b, e1 = (idx.epoch_keys(0), idx.epoch_keys(0), idx.epoch_keys(1))
+    assert e0a == e0b            # deterministic per epoch
+    assert sorted(e0a) == sorted(e1)
+    assert e0a != e1             # reshuffled across epochs
+
+
+def test_howto_dataset_manifest_shard(tmp_path):
+    """HowTo100MDataset loads only its manifest shard and still serves
+    samples; two shards are disjoint."""
+    from grove_tpu.data.index import build_manifest
+    from grove_tpu.data.datasets.howto100m import HowTo100MDataset
+    from grove_tpu.data.synthetic import make_synthetic_howto_dataset
+    from grove_tpu.data.video import VideoDecoder
+
+    ann_dir, video_dir, keys = make_synthetic_howto_dataset(
+        str(tmp_path), num_videos=4, num_frames=12)
+    man = str(tmp_path / "manifest.txt")
+    assert build_manifest(ann_dir, man) == 4
+    ds = [HowTo100MDataset(ann_dir=ann_dir, video_dir=video_dir,
+                           manifest=man, shard_rank=r, shard_world=2,
+                           decoder_factory=VideoDecoder, num_frames=4,
+                           clip_size=28, sam_size=32, max_phrases=4)
+          for r in range(2)]
+    assert len(ds[0]) == 2 and len(ds[1]) == 2
+    assert not (set(ds[0].keys) & set(ds[1].keys))
+    s = ds[1][0]
+    assert s["frames_clip"].shape[0] == 4
+    assert s["caption"]
