@@ -34,8 +34,17 @@ class GroveForCausalLM:
                         model_size: str = "full",
                         tokenizer=None, dtype=jnp.bfloat16,
                         seed: int = 0) -> "GroveForCausalLM":
-        cfg = {"tiny": GroveConfig.tiny, "small": GroveConfig.small,
-               "full": GroveConfig}[model_size]()
+        """Load from (in order of dispatch): an HF-layout model dir
+        (config.json + flax_model.msgpack, as written by `save_pretrained`),
+        an Orbax checkpoint dir, a torch `.bin`, or fresh-init by size."""
+        cfg = None
+        if checkpoint and os.path.isdir(checkpoint) and \
+                os.path.exists(os.path.join(checkpoint, "config.json")):
+            cfg = GroveConfig.load_json(
+                os.path.join(checkpoint, "config.json"))
+        if cfg is None:
+            cfg = {"tiny": GroveConfig.tiny, "small": GroveConfig.small,
+                   "full": GroveConfig}[model_size]()
         if tokenizer is not None:
             import dataclasses
             from ..text.tokenizer import special_token_ids_from
@@ -44,7 +53,17 @@ class GroveForCausalLM:
         model, variables = init_grove_params(cfg, jax.random.PRNGKey(seed),
                                              dtype=dtype)
         if checkpoint:
-            if os.path.isdir(checkpoint):
+            msgpack = (os.path.join(checkpoint, "flax_model.msgpack")
+                       if os.path.isdir(checkpoint) else None)
+            if msgpack and os.path.exists(msgpack):
+                from flax import serialization
+                with open(msgpack, "rb") as f:
+                    params = serialization.from_bytes(
+                        variables["params"], f.read())
+                variables = {"params": jax.tree_util.tree_map(
+                    lambda t, x: jnp.asarray(x, t.dtype),
+                    variables["params"], params)}
+            elif os.path.isdir(checkpoint):
                 from ..checkpoint.orbax_io import CheckpointManager
                 mgr = CheckpointManager(checkpoint)
                 restored = (mgr.restore_best({"params": variables["params"]})
@@ -66,6 +85,17 @@ class GroveForCausalLM:
                 params, _, _ = merge_into(variables["params"], converted)
                 variables = {"params": params}
         return cls(cfg, model, variables)
+
+    def save_pretrained(self, save_dir: str) -> None:
+        """Write an HF-flax-layout model directory: `config.json` +
+        `flax_model.msgpack` — round-trips through `from_pretrained`
+        (grove_transformers publishes the same two-artifact layout to the
+        hub, `modeling_grove.py:132-155` / `configuration_grove.py`)."""
+        from flax import serialization
+        os.makedirs(save_dir, exist_ok=True)
+        self.cfg.save_json(os.path.join(save_dir, "config.json"))
+        with open(os.path.join(save_dir, "flax_model.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(self.variables["params"]))
 
     # ------------------------------------------------------------------
     # mode-multiplexed surface (reference `model/GROVE.py:138-154`)

@@ -304,3 +304,38 @@ class GroveConfig:
             max_seq_len=512,
             out_dim=256,
         )
+
+    # ------------------------------------------------------------------
+    # JSON round-trip (grove_transformers `GroveConfig` is an HF config
+    # serialized as config.json, `configuration_grove.py:4-54`)
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GroveConfig":
+        sub = {"clip": ClipVisionConfig, "sam_enc": SamEncoderConfig,
+               "sam_dec": SamDecoderConfig, "llama": LlamaConfig,
+               "tokens": SpecialTokenIds}
+        kw = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if f.name in sub:
+                fields = {x.name for x in dataclasses.fields(sub[f.name])}
+                v = sub[f.name](**{k: (tuple(x) if isinstance(x, list) else x)
+                                   for k, x in v.items() if k in fields})
+            kw[f.name] = v
+        return cls(**kw)
+
+    def save_json(self, path: str) -> None:
+        import json
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=1)
+
+    @classmethod
+    def load_json(cls, path: str) -> "GroveConfig":
+        import json
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

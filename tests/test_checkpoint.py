@@ -71,3 +71,29 @@ def test_resize_positional_embeddings():
     # identity when already the right size
     same = resize_rel_pos(rel, 127)
     np.testing.assert_array_equal(same, rel)
+
+
+def test_save_pretrained_roundtrip(tmp_path):
+    """HF-layout dir (config.json + flax_model.msgpack) round-trips through
+    the public facade with identical params and config."""
+    import jax.numpy as jnp
+    import numpy as np
+    import jax
+    from grove_tpu.api.model import GroveForCausalLM
+    from grove_tpu.config import GroveConfig
+
+    m = GroveForCausalLM.from_pretrained(model_size="tiny",
+                                         dtype=jnp.float32, seed=3)
+    d = str(tmp_path / "hub_model")
+    m.save_pretrained(d)
+    import os
+    assert os.path.exists(os.path.join(d, "config.json"))
+    assert os.path.exists(os.path.join(d, "flax_model.msgpack"))
+
+    m2 = GroveForCausalLM.from_pretrained(d, dtype=jnp.float32)
+    assert m2.cfg == m.cfg
+    leaves1 = jax.tree_util.tree_leaves(m.variables["params"])
+    leaves2 = jax.tree_util.tree_leaves(m2.variables["params"])
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
