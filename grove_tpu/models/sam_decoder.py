@@ -303,7 +303,9 @@ class GroveBoxDecoder(nn.Module):
         tokens = jnp.concatenate(
             [output_tokens, sparse_embeddings.astype(self.dtype)], axis=1)
 
-        src = image_embeddings[instance_to_image]          # (N_inst, HW, C)
+        # instance_to_image=None: embeddings are already per-instance
+        src = (image_embeddings if instance_to_image is None
+               else image_embeddings[instance_to_image])   # (N_inst, HW, C)
         dense = dense_embeddings.reshape(-1, src.shape[1], cfg.embed_dim)
         src = src + dense
         pos = jnp.broadcast_to(image_pe.reshape(1, -1, cfg.embed_dim),
