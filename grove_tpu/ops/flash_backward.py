@@ -14,8 +14,12 @@ Standard flash backward decomposition (Dao et al.):
     dk_j  = scale * sum_i ds_ij^T q_i
 
 Mosaic notes (this environment): dynamic-start slices must be on the
-SUBLANE dim (so lse/D are carried as (B, S, 1) and sliced on S), and
-interleaving reshapes are avoided.
+SUBLANE dim and interleaving reshapes are avoided. Row statistics (lse, D)
+are carried as (B*H, n_blocks, block) arrays — a (B*H, S, 1) layout tiles
+its minor dim to 128 lanes (128x HBM padding, gigabytes at SAM/LLaMA train
+shapes). Per-q-block rows live on the LANE dim, are selected by dynamic
+SUBLANE index, and are converted to/from per-row columns inside the kernels
+with 0/1 iota-eye reductions (transposes are not lowered reliably here).
 """
 
 from __future__ import annotations
@@ -30,6 +34,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+
+def _col_to_row(col):
+    """(n, 1) -> (1, n) via an iota-eye reduction (no transpose)."""
+    n = col.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (r == c).astype(col.dtype)
+    return jnp.sum(eye * col, axis=0, keepdims=True)
+
+
+def _row_to_col(row):
+    """(1, n) -> (n, 1) via an iota-eye reduction (no transpose)."""
+    n = row.shape[-1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (r == c).astype(row.dtype)
+    return jnp.sum(eye * row, axis=1, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -72,17 +94,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, causal, scale,
 
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30))).astype(jnp.float32)
+    lse_ref[0, pl.ds(qi, 1), :] = _col_to_row(
+        m + jnp.log(jnp.maximum(l, 1e-30))).astype(jnp.float32)
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref, *,
                causal, scale, block_k, kv_len):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0].astype(jnp.float32)          # (block_q, 1)
-    dcap = dcap_ref[0].astype(jnp.float32)        # (block_q, 1)
-    block_q, d = q.shape
     qi = pl.program_id(1)
+    lse = _row_to_col(lse_ref[0, pl.ds(qi, 1), :]
+                      .astype(jnp.float32))                # (block_q, 1)
+    dcap = _row_to_col(dcap_ref[0, pl.ds(qi, 1), :]
+                       .astype(jnp.float32))               # (block_q, 1)
+    block_q, d = q.shape
     q_offset = qi * block_q
 
     num_kv = pl.cdiv(kv_len, block_k)
@@ -124,9 +149,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dk_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        dcap = dcap_ref[0, pl.ds(qi * block_q, block_q), :
-                        ].astype(jnp.float32)
+        lse = _row_to_col(lse_ref[0, pl.ds(qi, 1), :].astype(jnp.float32))
+        dcap = _row_to_col(dcap_ref[0, pl.ds(qi, 1), :]
+                           .astype(jnp.float32))
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         if causal:
             qpos = qi * block_q + jax.lax.broadcasted_iota(
@@ -170,16 +195,21 @@ def _unfold(x, b, h):
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block"))
 def flash_forward_lse(q, k, v, *, causal: bool, scale: float,
                       block: int = 512):
-    """(B, S, H, D) -> (out (B, S, H, D), lse (B*H, S, 1) fp32)."""
+    """(B, S, H, D) -> (out (B, S, H, D), lse (B*H, n_blk, block) fp32).
+
+    Row statistics are laid out per q-block on the lane dim — compact on
+    TPU, where a (B*H, S, 1) layout would tile its minor dim to 128 lanes
+    (128x HBM padding)."""
     b, s, h, d = q.shape
     block = min(block, s)
     assert s % block == 0
+    nblk = s // block
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     kernel = functools.partial(_fwd_kernel, causal=causal, scale=scale,
                                block_k=block, kv_len=s)
     out, lse = pl.pallas_call(
         kernel,
-        grid=(b * h, s // block),
+        grid=(b * h, nblk),
         in_specs=[
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -191,12 +221,12 @@ def flash_forward_lse(q, k, v, *, causal: bool, scale: float,
         out_specs=(
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, nblk, block), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nblk, block), jnp.float32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(qf, kf, vf)
@@ -206,21 +236,23 @@ def flash_forward_lse(q, k, v, *, causal: bool, scale: float,
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block"))
 def flash_backward(q, k, v, out, lse, g, *, causal: bool, scale: float,
                    block: int = 512):
-    """Flash backward. Returns (dq, dk, dv) in (B, S, H, D)."""
+    """Flash backward. `lse` in the (B*H, n_blk, block) layout of
+    `flash_forward_lse`. Returns (dq, dk, dv) in (B, S, H, D)."""
     b, s, h, d = q.shape
     block = min(block, s)
     assert s % block == 0
+    nblk = s // block
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     of, gf = _fold(out), _fold(g)
     dcap = jnp.sum(of.astype(jnp.float32) * gf.astype(jnp.float32),
-                   axis=-1, keepdims=True)                  # (B*H, S, 1)
+                   axis=-1).reshape(b * h, nblk, block)
 
     interp = jax.default_backend() != "tpu"
     dq_kernel = functools.partial(_dq_kernel, causal=causal, scale=scale,
                                   block_k=block, kv_len=s)
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(b * h, s // block),
+        grid=(b * h, nblk),
         in_specs=[
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -230,9 +262,9 @@ def flash_backward(q, k, v, out, lse, g, *, causal: bool, scale: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, nblk, block), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, nblk, block), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
@@ -245,7 +277,7 @@ def flash_backward(q, k, v, out, lse, g, *, causal: bool, scale: float,
                                    block_q=block, q_len=s)
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b * h, s // block),
+        grid=(b * h, nblk),
         in_specs=[
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -255,9 +287,9 @@ def flash_backward(q, k, v, out, lse, g, *, causal: bool, scale: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nblk, block), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nblk, block), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -296,8 +328,8 @@ def _fa_fwd(q, k, v, causal, scale, block):
 
 def _fa_bwd(causal, scale, block, res, g):
     q, k, v, out, lse = res
-    return flash_backward(q, k, v, out, lse, g, causal=causal, scale=scale,
-                          block=block)
+    return flash_backward(q, k, v, out, lse, g, causal=causal,
+                          scale=scale, block=block)
 
 
 flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .flash_backward import _col_to_row, _row_to_col
 from .sam_attention import relpos_terms
 from .sam_encoder_tables import gather_rel_tables, rel_pos_index
 
@@ -55,8 +56,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref, *,
                 scale, block_k, grid_h, grid_w, kv_len):
     q = q_ref[0].astype(jnp.float32) * scale
     block_q, d = q.shape
-    rh = rh_ref[0].astype(jnp.float32)          # (bq, gh)
-    rw = rw_ref[0].astype(jnp.float32)          # (bq, gw)
+    # rh/rw arrive grid-major (gh|gw on the SUBLANE dim): a (bq, gh) lane
+    # layout pads gh=14 -> 128 lanes (9x HBM); contractions below use
+    # dot_general on dim 0 so no transpose is needed
+    rh = rh_ref[0, 0].astype(jnp.float32)       # (gh, bq)
+    rw = rw_ref[0, 0].astype(jnp.float32)       # (gw, bq)
 
     m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((block_q, 1), jnp.float32)
@@ -68,8 +72,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref, *,
         v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
         eh, ew = _selectors_full(ki * block_k, block_k, grid_h, grid_w)
-        s = s + jnp.dot(rh, eh, preferred_element_type=jnp.float32)
-        s = s + jnp.dot(rw, ew, preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            rh, eh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            rw, ew, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
@@ -80,7 +88,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref, *,
 
     m, l, acc = jax.lax.fori_loop(0, kv_len // block_k, body, (m, l, acc))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30))).astype(jnp.float32)
+    lse_ref[0, pl.ds(pl.program_id(1), 1), :] = _col_to_row(
+        m + jnp.log(jnp.maximum(l, 1e-30))).astype(jnp.float32)
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
@@ -88,10 +97,13 @@ def _dq_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
                grid_h, grid_w, kv_len):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0].astype(jnp.float32)
-    dcap = dcap_ref[0].astype(jnp.float32)
-    rh = rh_ref[0].astype(jnp.float32)          # (bq, gh)
-    rw = rw_ref[0].astype(jnp.float32)          # (bq, gw)
+    qi = pl.program_id(1)
+    lse = _row_to_col(lse_ref[0, pl.ds(qi, 1), :]
+                      .astype(jnp.float32))                # (block_q, 1)
+    dcap = _row_to_col(dcap_ref[0, pl.ds(qi, 1), :]
+                       .astype(jnp.float32))               # (block_q, 1)
+    rh = rh_ref[0, 0].astype(jnp.float32)       # (gh, bq)
+    rw = rw_ref[0, 0].astype(jnp.float32)       # (gw, bq)
     block_q, d = q.shape
     num_kv = kv_len // block_k
 
@@ -101,28 +113,32 @@ def _dq_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
         v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         eh, ew = _selectors_full(ki * block_k, block_k, grid_h, grid_w)
-        s = s + jnp.dot(rh, eh, preferred_element_type=jnp.float32)
-        s = s + jnp.dot(rw, ew, preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            rh, eh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            rw, ew, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - dcap)                                 # (bq, bk)
         dq_new = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
         drh_new = drh_acc + jax.lax.dot_general(
-            ds, eh, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (bq, gh)
+            eh, ds, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (gh, bq)
         drw_new = drw_acc + jax.lax.dot_general(
-            ds, ew, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (bq, gw)
+            ew, ds, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (gw, bq)
         return dq_new, drh_new, drw_new
 
     dq, drh_acc, drw_acc = jax.lax.fori_loop(
         0, num_kv, body,
         (jnp.zeros((block_q, d), jnp.float32),
-         jnp.zeros((block_q, grid_h), jnp.float32),
-         jnp.zeros((block_q, grid_w), jnp.float32)))
+         jnp.zeros((grid_h, block_q), jnp.float32),
+         jnp.zeros((grid_w, block_q), jnp.float32)))
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
-    drh_ref[0] = drh_acc.astype(jnp.float32)
-    drw_ref[0] = drw_acc.astype(jnp.float32)
+    drh_ref[0, 0] = drh_acc.astype(jnp.float32)
+    drw_ref[0, 0] = drw_acc.astype(jnp.float32)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
@@ -140,17 +156,18 @@ def _dkv_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qi * block_q, block_q), :
-                      ].astype(jnp.float32)
-        dcap = dcap_ref[0, pl.ds(qi * block_q, block_q), :
-                        ].astype(jnp.float32)
-        rh = rh_ref[0, pl.ds(qi * block_q, block_q), :
-                    ].astype(jnp.float32)                   # (bq, gh)
-        rw = rw_ref[0, pl.ds(qi * block_q, block_q), :
-                    ].astype(jnp.float32)                   # (bq, gw)
+        lse = _row_to_col(lse_ref[0, pl.ds(qi, 1), :].astype(jnp.float32))
+        dcap = _row_to_col(dcap_ref[0, pl.ds(qi, 1), :]
+                           .astype(jnp.float32))
+        rh = rh_ref[0, pl.ds(qi, 1), :, :][0].astype(jnp.float32)  # (gh,bq)
+        rw = rw_ref[0, pl.ds(qi, 1), :, :][0].astype(jnp.float32)  # (gw,bq)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        s = s + jnp.dot(rh, eh, preferred_element_type=jnp.float32)
-        s = s + jnp.dot(rw, ew, preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            rh, eh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            rw, ew, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)
         dv_new = dv + jax.lax.dot_general(
             p, do, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -200,14 +217,17 @@ def relpos_flash_fwd_lse(q, k, v, rel_h_term, rel_w_term,
     b, s, h, d = q.shape
     gh, gw = hw
     block = _pick_block(s, gw)
+    nblk = s // block
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
-    rhf = rel_h_term.reshape(b * h, s, gh)
-    rwf = rel_w_term.reshape(b * h, s, gw)
+    # grid-major (BH, nblk, gh|gw, block): gh/gw on the sublane dim — a
+    # lane layout pads 14 -> 128 (9x HBM) at windowed-block shapes
+    rhf = rel_h_term.reshape(b * h, nblk, block, gh).transpose(0, 1, 3, 2)
+    rwf = rel_w_term.reshape(b * h, nblk, block, gw).transpose(0, 1, 3, 2)
     kernel = functools.partial(_fwd_kernel, scale=scale, block_k=block,
                                grid_h=gh, grid_w=gw, kv_len=s)
     out, lse = pl.pallas_call(
         kernel,
-        grid=(b * h, s // block),
+        grid=(b * h, nblk),
         in_specs=[
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -215,20 +235,22 @@ def relpos_flash_fwd_lse(q, k, v, rel_h_term, rel_w_term,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, gh), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, gh, block), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, gw), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, gw, block), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, nblk, block), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, s, 1), jnp.float32),
+            # per-q-block rows on the lane dim: a (B*H, S, 1) layout would
+            # tile its minor dim to 128 lanes (130x padding at SAM shapes)
+            jax.ShapeDtypeStruct((b * h, nblk, block), jnp.float32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(qf, kf, vf, rhf, rwf)
@@ -242,13 +264,14 @@ def relpos_flash_bwd(q, k, v, rel_pos_h, rel_pos_w, out, lse, g,
     b, s, h, d = q.shape
     gh, gw = hw
     block = _pick_block(s, gw)
+    nblk = s // block
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     of, gf = _fold(out), _fold(g)
     dcap = jnp.sum(of.astype(jnp.float32) * gf.astype(jnp.float32),
-                   axis=-1, keepdims=True)
+                   axis=-1).reshape(b * h, nblk, block)
     rh_term, rw_term = relpos_terms(q, rel_pos_h, rel_pos_w, hw)
-    rhf = rh_term.reshape(b * h, s, gh)
-    rwf = rw_term.reshape(b * h, s, gw)
+    rhf = rh_term.reshape(b * h, nblk, block, gh).transpose(0, 1, 3, 2)
+    rwf = rw_term.reshape(b * h, nblk, block, gw).transpose(0, 1, 3, 2)
     interp = jax.default_backend() != "tpu"
 
     dq_kernel = functools.partial(_dq_kernel, scale=scale, block_k=block,
@@ -263,29 +286,29 @@ def relpos_flash_bwd(q, k, v, rel_pos_h, rel_pos_w, out, lse, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, gh), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, gh, block), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, gw), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, gw, block), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, nblk, block), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, nblk, block), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, gh), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, gh, block), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, gw), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, gw, block), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, s, gh), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, s, gw), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nblk, gh, block), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nblk, gw, block), jnp.float32),
         ),
         interpret=interp,
     )(qf, kf, vf, rhf, rwf, gf, lse, dcap)
@@ -302,15 +325,15 @@ def relpos_flash_bwd(q, k, v, rel_pos_h, rel_pos_w, out, lse, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, gh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nblk, gh, block), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, gw), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nblk, gw, block), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nblk, block), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, nblk, block), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -326,9 +349,9 @@ def relpos_flash_bwd(q, k, v, rel_pos_h, rel_pos_w, out, lse, g,
         interpret=interp,
     )(qf, kf, vf, rhf, rwf, gf, lse, dcap)
 
-    # assemble host-side contractions
-    d_rh = drh_t.reshape(b, h, s, gh)                      # (B, H, S, gh)
-    d_rw = drw.reshape(b, h, s, gw)
+    # assemble host-side contractions (grid-major -> row-major)
+    d_rh = drh_t.transpose(0, 1, 3, 2).reshape(b, h, s, gh)
+    d_rw = drw.transpose(0, 1, 3, 2).reshape(b, h, s, gw)
     Rh, Rw = gather_rel_tables(rel_pos_h, rel_pos_w, gh, gw)
 
     # q also feeds the bias: dq += einsum(d_rh, Rh) + einsum(d_rw, Rw)
@@ -372,14 +395,16 @@ def _rp_fwd(q, k, v, rel_pos_h, rel_pos_w, hw):
     scale = 1.0 / math.sqrt(q.shape[-1])
     rh, rw = relpos_terms(q, rel_pos_h, rel_pos_w, hw)
     out, lse = relpos_flash_fwd_lse(q, k, v, rh, rw, hw, scale)
+    # residual saved 2-D: (BH, S, 1) tiles its minor dim to 128 lanes
+    # (128x padding) and one copy per SAM block stays live until backward
     return out, (q, k, v, rel_pos_h, rel_pos_w, out, lse)
 
 
 def _rp_bwd(hw, res, g):
     q, k, v, rel_pos_h, rel_pos_w, out, lse = res
     scale = 1.0 / math.sqrt(q.shape[-1])
-    return relpos_flash_bwd(q, k, v, rel_pos_h, rel_pos_w, out, lse, g,
-                            hw, scale)
+    return relpos_flash_bwd(q, k, v, rel_pos_h, rel_pos_w, out,
+                            lse, g, hw, scale)
 
 
 relpos_flash_attention.defvjp(_rp_fwd, _rp_bwd)
