@@ -9,8 +9,12 @@ from their definitions:
   * CIDEr-D: n = 1..4 TF-IDF cosine with length gaussian (sigma = 6) and
     count clipping, x10 scale.
 
-METEOR/SPICE require external assets (synonym DBs / Java parsers); they are
-intentionally not faked — callers get an explicit None.
+METEOR is computed by `evals/meteor.py` — a from-spec pure-python
+implementation with the asset-free exact + Porter-stem matcher stages (the
+jar's WordNet/paraphrase stages need external DBs; see that module's
+docstring for the documented deviation). SPICE requires a Java CoreNLP
+scene-graph parser; it is intentionally not faked — callers get an
+explicit None.
 """
 
 from __future__ import annotations
@@ -18,6 +22,8 @@ from __future__ import annotations
 import math
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence
+
+from .meteor import meteor_corpus
 
 
 def _tokens(s: str) -> List[str]:
@@ -149,6 +155,6 @@ def caption_metrics(gts: Dict[str, List[str]], res: Dict[str, str]) -> Dict:
         "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
         "ROUGE_L": rouge_l(gts, res),
         "CIDEr": cider_d(gts, res),
-        "METEOR": None,   # needs external synonym assets; not faked
+        "METEOR": meteor_corpus(gts, res),  # exact+stem stages (see meteor.py)
         "SPICE": None,    # needs Java CoreNLP; not faked
     }

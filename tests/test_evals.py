@@ -2,6 +2,7 @@ import numpy as np
 import pytest
 
 from grove_tpu.evals.captions import bleu, caption_metrics, cider_d, rouge_l
+from grove_tpu.evals.meteor import meteor_sentence, porter_stem
 from grove_tpu.evals.iground import (box_average_precision, compute_iou,
                                      find_best_matches, grounding_recall,
                                      mean_iou, token_tf_cosine)
@@ -85,7 +86,52 @@ def test_caption_metrics_bundle():
     gts = {"1": ["a cat sits quietly on the mat"]}
     out = caption_metrics(gts, {"1": "a cat sits quietly on the mat"})
     assert out["Bleu_4"] > 0.99
-    assert out["METEOR"] is None  # explicitly unavailable, not faked
+    assert out["METEOR"] > 0.95  # identical hyp: fmean 1, tiny chunk penalty
+    assert out["SPICE"] is None  # explicitly unavailable, not faked
+
+
+def test_porter_stem_canonical_examples():
+    # Examples straight from Porter (1980), one per rule family.
+    cases = {
+        "caresses": "caress", "ponies": "poni", "caress": "caress",
+        "cats": "cat",                     # 1a
+        "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+        "sing": "sing", "conflated": "conflat", "sized": "size",
+        "hopping": "hop", "falling": "fall", "failing": "fail",  # 1b
+        "happy": "happi", "sky": "sky",    # 1c
+        "relational": "relat", "conditional": "condit",
+        "vietnamization": "vietnam", "operator": "oper",  # 2
+        "triplicate": "triplic", "formative": "form",
+        "electrical": "electr", "hopefulness": "hope",  # 3 (then 4 on "ic")
+        "revival": "reviv", "adjustment": "adjust",
+        "adoption": "adopt", "replacement": "replac",     # 4
+        "probate": "probat", "rate": "rate", "cease": "ceas",  # 5a
+        "controll": "control", "roll": "roll",            # 5b
+    }
+    for word, want in cases.items():
+        assert porter_stem(word) == want, (word, porter_stem(word), want)
+
+
+def test_meteor_hand_computed():
+    # Identical sentences: m=4, P=R=1, fmean=1, chunks=1,
+    # penalty = 0.5 * (1/4)^3 = 1/128.
+    s = meteor_sentence(["this is a cat"], "this is a cat")
+    assert abs(s - (1 - 0.5 / 64)) < 1e-9
+    # Full inversion: m=2, fmean=1, chunks=2, penalty=0.5*(2/2)^3=0.5.
+    assert abs(meteor_sentence(["a b"], "b a") - 0.5) < 1e-9
+    # Stem-stage match: "cats"/"cat" and "running"/"runs" align via stems.
+    full = meteor_sentence(["the cat runs"], "the cats running")
+    assert full > 0.9
+    # No overlap at all.
+    assert meteor_sentence(["x y z"], "p q r") == 0.0
+    # Recall-weighted mean (alpha=0.9): hyp "a b" vs ref "a b c d":
+    # m=2, P=1, R=0.5, fmean = 0.5/(0.9 + 0.1*0.5) = 10/19,
+    # chunks=1, penalty = 0.5*(1/2)^3 = 1/16.
+    s = meteor_sentence(["a b c d"], "a b")
+    assert abs(s - (10 / 19) * (15 / 16)) < 1e-9
+    # Multiple references: take the best one.
+    assert (meteor_sentence(["a b", "p q"], "a b")
+            == meteor_sentence(["a b"], "a b"))
 
 
 def test_vidstg_viou():
