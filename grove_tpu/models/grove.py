@@ -44,6 +44,10 @@ class GroveModel(nn.Module):
     cfg: GroveConfig
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    # optional NamedSharding for the LLM residual stream (sequence
+    # parallelism; see models/llama.LlamaModel.act_sharding). Parameter-free,
+    # so checkpoints are interchangeable with the unconstrained model.
+    llm_act_sharding: object = None
 
     def setup(self):
         cfg = self.cfg
@@ -74,6 +78,7 @@ class GroveModel(nn.Module):
         self.embed_tokens = LlamaEmbed(cfg.llama, dtype=self.dtype,
                                        name="embed_tokens")
         self.llama = LlamaModel(cfg.llama, dtype=self.dtype, remat=self.remat,
+                                act_sharding=self.llm_act_sharding,
                                 name="llama")
         self.lm_head = LlamaLMHead(cfg.llama, dtype=self.dtype,
                                    name="lm_head")

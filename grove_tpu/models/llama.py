@@ -179,15 +179,29 @@ class LlamaBlock(nn.Module):
 
 
 class LlamaModel(nn.Module):
-    """Decoder stack over `inputs_embeds`; returns post-final-norm states."""
+    """Decoder stack over `inputs_embeds`; returns post-final-norm states.
+
+    `act_sharding` (optional NamedSharding, e.g.
+    `parallel.sharding.sequence_parallel_sharding(mesh)`) is applied to the
+    residual stream between blocks on the cache-free (training) path —
+    Megatron-style sequence parallelism expressed as a GSPMD constraint.
+    It adds no parameters, so models with and without it share checkpoints.
+    """
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    act_sharding: Optional[object] = None
 
     @nn.compact
     def __call__(self, inputs_embeds, positions, kv_caches=None,
                  cache_offset=None, attn_mask=None, pad_lens=None):
         x = inputs_embeds.astype(self.dtype)
+        constrain = (
+            (lambda h: jax.lax.with_sharding_constraint(h,
+                                                        self.act_sharding))
+            if self.act_sharding is not None and kv_caches is None
+            else (lambda h: h))
+        x = constrain(x)
         new_caches = [] if kv_caches is not None else None
         block_cls = LlamaBlock
         if self.remat and kv_caches is None:
@@ -197,6 +211,7 @@ class LlamaModel(nn.Module):
             x, nc = block_cls(self.cfg, dtype=self.dtype,
                               name=f"layers_{i}")(
                 x, positions, cache_i, cache_offset, attn_mask, pad_lens)
+            x = constrain(x)
             if new_caches is not None:
                 new_caches.append(nc)
         x = RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)

@@ -89,6 +89,41 @@ def zero_sharding(params, mesh: Mesh, rules=LLAMA_TP_RULES):
     return jax.tree_util.tree_map_with_path(f, params)
 
 
+def fsdp_shardings(params, mesh: Mesh, rules=LLAMA_TP_RULES,
+                   axis: str = "data", min_size: int = 1 << 14):
+    """ZeRO-3-style fully-sharded parameters (the step beyond the
+    reference's ZeRO-2, `train.py:476-478`): every parameter with at least
+    `min_size` elements is additionally sharded over the data axis on its
+    largest TP-unsharded dim. XLA GSPMD inserts the all-gathers at use
+    sites and reduce-scatters on the gradients — the TPU-native analogue
+    of DeepSpeed stage 3, expressed purely as placement."""
+    ndata = mesh.shape[axis]
+
+    def f(path, v):
+        spec = list(partition_spec_for(path_str(path), v, rules, mesh))
+        spec += [None] * (v.ndim - len(spec))
+        if v.size >= min_size and ndata > 1:
+            cands = [(v.shape[i], i) for i in range(v.ndim)
+                     if spec[i] is None and v.shape[i] % ndata == 0
+                     and v.shape[i] >= ndata]
+            if cands:
+                _, i = max(cands)
+                spec[i] = axis
+        while spec and spec[-1] is None:
+            spec.pop()
+        return NamedSharding(mesh, P(*spec))
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def sequence_parallel_sharding(mesh: Mesh) -> NamedSharding:
+    """Activation sharding for Megatron-style sequence parallelism: the
+    (B, S, D) residual stream between decoder blocks is sharded over the
+    model axis on S, so RMSNorm/elementwise work and activation memory
+    scale down with TP size (GSPMD turns the boundary collectives into
+    all-gather / reduce-scatter pairs)."""
+    return NamedSharding(mesh, P("data", "model", None))
+
+
 def shard_pytree(tree, shardings):
     """Device-put a pytree with the given shardings."""
     return jax.tree.map(jax.device_put, tree, shardings)

@@ -68,3 +68,93 @@ def test_sharded_batch_decode_matches_unsharded():
                             max_new_tokens=4, eos_id=cfg.tokens.eos,
                             cache_dtype=jnp.float32)
     assert np.asarray(g_sh).tolist() == np.asarray(g_ref).tolist()
+
+
+def test_fsdp_sp_step_matches_replicated():
+    """FSDP param sharding + sequence-parallel activation constraints are
+    placement-only: one train step must reproduce the replicated-step loss
+    and updated params (fp32, CPU 8-device mesh)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from grove_tpu.config import GroveConfig
+    from grove_tpu.models.grove import GroveModel, init_grove_params
+    from grove_tpu.parallel.mesh import data_sharded, make_mesh
+    from grove_tpu.parallel.sharding import (fsdp_shardings,
+                                             sequence_parallel_sharding,
+                                             shard_pytree)
+    from grove_tpu.train.step import (OptimizerConfig, make_optimizer,
+                                      make_train_step, partition_params,
+                                      trainable_mask)
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", os.path.join(os.path.dirname(__file__), "..",
+                                        "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cfg = GroveConfig.tiny()
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.float32, batch=4)
+    params = variables["params"]
+    rng = np.random.default_rng(0)
+    batch = mod._dummy_batch(cfg, 4, rng)
+
+    opt_cfg = OptimizerConfig(total_steps=10, warmup_steps=2)
+    optimizer = make_optimizer(params, opt_cfg)
+    mask = trainable_mask(params, opt_cfg)
+
+    def one_step(m, p, bat):
+        trainable, frozen = partition_params(p, mask)
+        opt_state = optimizer.init(trainable)
+        step = jax.jit(make_train_step(m, optimizer))
+        new_t, _, metrics = step(trainable, frozen, opt_state, bat)
+        return float(metrics["loss"]), new_t
+
+    loss_ref, t_ref = one_step(model, params, batch)
+
+    mesh = make_mesh(data=4, model=2)
+    sp_model = GroveModel(cfg, dtype=jnp.float32,
+                          llm_act_sharding=sequence_parallel_sharding(mesh))
+    p_shard = fsdp_shardings(params, mesh, min_size=1 << 8)
+    params_s = shard_pytree(params, p_shard)
+    batch_s = {k: jax.device_put(v, data_sharded(mesh, v.ndim))
+               for k, v in batch.items()}
+    loss_sh, t_sh = one_step(sp_model, params_s, batch_s)
+
+    assert abs(loss_ref - loss_sh) < 1e-4 * max(1.0, abs(loss_ref))
+    flat_ref = jax.tree.leaves(t_ref)
+    flat_sh = jax.tree.leaves(t_sh)
+    for a, b in zip(flat_ref, flat_sh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fsdp_shardings_shard_large_params():
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from grove_tpu.config import GroveConfig
+    from grove_tpu.models.grove import init_grove_params
+    from grove_tpu.parallel.mesh import make_mesh
+    from grove_tpu.parallel.sharding import fsdp_shardings, path_str
+
+    cfg = GroveConfig.tiny()
+    _, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32, batch=1)
+    params = variables["params"]
+    mesh = make_mesh(data=4, model=2)
+    sh = fsdp_shardings(params, mesh, min_size=1 << 8)
+
+    import jax.tree_util as jtu
+    flat = jtu.tree_flatten_with_path(sh)[0]
+    specs = {path_str(p): s.spec for p, s in flat}
+    # TP rule preserved AND data axis added on the other dim for a large
+    # q_proj kernel
+    qspec = specs["llama/layers_0/self_attn/q_proj/kernel"]
+    assert "model" in qspec and "data" in qspec
+    # embedding: sharded over at least one mesh axis (tiny config's vocab
+    # is not model-divisible, so the fallback shards hidden over data)
+    assert any(ax is not None for ax in specs["embed_tokens/embedding"])
+    # small params (norms) stay replicated
+    assert specs["llama/norm/weight"] == P()
