@@ -63,7 +63,8 @@ def main():
                          method=GroveModel.encode_grounding)
         gen_ids, hidden = greedy_decode(
             model, {"params": params}, ids, ve, vs,
-            max_new_tokens=MAX_NEW_TOKENS, eos_id=cfg.tokens.eos)
+            max_new_tokens=MAX_NEW_TOKENS, eos_id=cfg.tokens.eos,
+            early_exit=False)  # always decode all 64 steps: honest number
         boxes, obj = model.apply({"params": params}, hidden, det_pos, ie,
                                  method=GroveModel.ground)
         return gen_ids, boxes, obj

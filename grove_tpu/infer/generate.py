@@ -28,13 +28,24 @@ from .jit_utils import apply_jit
 
 @functools.lru_cache(maxsize=32)
 def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
-               pad_id: int, cache_dtype):
-    """One fused jit: prefill + full greedy scan (single device launch)."""
+               pad_id: int, cache_dtype, early_exit: bool):
+    """One fused jit: prefill + greedy loop (single device launch).
+
+    `early_exit=True` runs the token loop as a `lax.while_loop` that stops
+    as soon as EVERY sequence has emitted EOS — decode is HBM-bound
+    (weights + KV cache re-read per step), so skipped steps are pure
+    savings; real captions finish well before max_new_tokens (the
+    reference's HF `generate` stops at EOS the same way,
+    `model/GROVE.py:418-422`). Emitted ids are identical to the fixed-
+    length scan (post-EOS slots are pad either way); hidden-state slots
+    past the stop step stay zero, which downstream [DET] gathering never
+    reads (det positions live inside the caption, before EOS)."""
 
     @jax.jit
     def run(variables, spliced_ids, video_embeds, video_start, pad_lens):
         cfg = model.cfg
         b = spliced_ids.shape[0]
+        d = cfg.llama.hidden_size
         caches = init_kv_caches(cfg.llama, b, ls + max_new_tokens,
                                 dtype=cache_dtype)
         prefill_hidden, logits, caches = model.apply(
@@ -42,8 +53,7 @@ def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
             pad_lens, method=GroveModel.prefill)
         first_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
 
-        def step(carry, i):
-            tok, caches, done = carry
+        def one_step(tok, caches, done, i):
             hidden, logits, caches = model.apply(
                 variables, tok[:, None], ls + i, caches, pad_lens,
                 method=GroveModel.decode_step)
@@ -51,13 +61,43 @@ def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
             emitted = jnp.where(done, pad_id, tok)
             done_next = done | (tok == eos_id)
             next_tok = jnp.where(done_next, pad_id, next_tok)
-            return (next_tok, caches, done_next), (emitted, hidden[:, 0])
+            return emitted, hidden[:, 0], next_tok, caches, done_next
 
-        (_, _, _), (gen_ids, step_hidden) = jax.lax.scan(
-            step, (first_tok, caches, jnp.zeros((b,), bool)),
-            jnp.arange(max_new_tokens))
-        gen_ids = gen_ids.T                              # (B, max_new)
-        step_hidden = step_hidden.transpose(1, 0, 2)     # (B, max_new, D)
+        if early_exit:
+            hid_dtype = prefill_hidden.dtype
+            init = (jnp.int32(0), first_tok, caches,
+                    jnp.zeros((b,), bool),
+                    jnp.full((b, max_new_tokens), pad_id, jnp.int32),
+                    jnp.zeros((b, max_new_tokens, d), hid_dtype))
+
+            def cond(c):
+                i, _, _, done, _, _ = c
+                return (i < max_new_tokens) & ~jnp.all(done)
+
+            def body(c):
+                i, tok, caches, done, gen, hid = c
+                emitted, h, next_tok, caches, done = one_step(
+                    tok, caches, done, i)
+                gen = jax.lax.dynamic_update_slice(gen, emitted[:, None],
+                                                   (0, i))
+                hid = jax.lax.dynamic_update_slice(
+                    hid, h[:, None].astype(hid_dtype), (0, i, 0))
+                return (i + 1, next_tok, caches, done, gen, hid)
+
+            _, _, _, _, gen_ids, step_hidden = jax.lax.while_loop(
+                cond, body, init)
+        else:
+            def step(carry, i):
+                tok, caches, done = carry
+                emitted, h, next_tok, caches, done = one_step(
+                    tok, caches, done, i)
+                return (next_tok, caches, done), (emitted, h)
+
+            (_, _, _), (gen_ids, step_hidden) = jax.lax.scan(
+                step, (first_tok, caches, jnp.zeros((b,), bool)),
+                jnp.arange(max_new_tokens))
+            gen_ids = gen_ids.T                          # (B, max_new)
+            step_hidden = step_hidden.transpose(1, 0, 2)  # (B, max_new, D)
         hidden = jnp.concatenate([prefill_hidden, step_hidden], axis=1)
         return gen_ids, hidden
 
@@ -66,9 +106,14 @@ def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
 
 def greedy_decode(model: GroveModel, variables, spliced_ids, video_embeds,
                   video_start, *, max_new_tokens: int, eos_id: int,
-                  pad_id: int = 0, cache_dtype=jnp.bfloat16, pad_lens=None):
+                  pad_id: int = 0, cache_dtype=jnp.bfloat16, pad_lens=None,
+                  early_exit: bool = True):
     """Greedy generation. spliced_ids: (B, Ls); unequal prompts arrive
     LEFT-padded with `pad_lens` (B,) set (see `left_pad_prompts`).
+
+    `early_exit` stops the on-device token loop once every sequence hit
+    EOS (identical emitted ids; see `_decode_fn`). Set False to force the
+    fixed-length scan (e.g. for benchmarking a full max_new_tokens run).
 
     Returns (generated_ids (B, max_new), hidden (B, Ls+max_new, D)).
     """
@@ -76,7 +121,7 @@ def greedy_decode(model: GroveModel, variables, spliced_ids, video_embeds,
     if pad_lens is None:
         pad_lens = jnp.zeros((b,), jnp.int32)
     fn = _decode_fn(model, ls, max_new_tokens, int(eos_id), int(pad_id),
-                    cache_dtype)
+                    cache_dtype, bool(early_exit))
     return fn(variables, spliced_ids, video_embeds, video_start,
               jnp.asarray(pad_lens, jnp.int32))
 

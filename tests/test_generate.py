@@ -121,3 +121,46 @@ def test_ragged_batched_decode_matches_single(setup, rng):
     gb = np.asarray(g_batch)
     assert gb[0].tolist() == np.asarray(g_a)[0].tolist()
     assert gb[1].tolist() == np.asarray(g_b)[0].tolist()
+
+
+def test_early_exit_decode_matches_scan(setup, rng):
+    """while_loop early-EOS decode emits exactly the fixed scan's ids, and
+    hidden states agree on every step that actually ran."""
+    cfg, model, variables = setup
+    ids, vs, feats = _prompt(cfg, rng, b=2)
+    max_new = 8
+    common = dict(max_new_tokens=max_new, eos_id=cfg.tokens.eos,
+                  cache_dtype=jnp.float32)
+    g_scan, h_scan = greedy_decode(model, variables, jnp.asarray(ids),
+                                   jnp.asarray(feats), jnp.asarray(vs),
+                                   early_exit=False, **common)
+    g_we, h_we = greedy_decode(model, variables, jnp.asarray(ids),
+                               jnp.asarray(feats), jnp.asarray(vs),
+                               early_exit=True, **common)
+    assert np.asarray(g_scan).tolist() == np.asarray(g_we).tolist()
+    np.testing.assert_allclose(np.asarray(h_scan), np.asarray(h_we))
+
+    # force an early stop: declare the 3rd generated token of sample 0 to
+    # be EOS; both variants must emit identical (truncated+padded) ids
+    forced_eos = int(np.asarray(g_scan)[0, 2])
+    g_scan2, h_scan2 = greedy_decode(model, variables, jnp.asarray(ids),
+                                     jnp.asarray(feats), jnp.asarray(vs),
+                                     max_new_tokens=max_new,
+                                     eos_id=forced_eos,
+                                     cache_dtype=jnp.float32,
+                                     early_exit=False)
+    g_we2, h_we2 = greedy_decode(model, variables, jnp.asarray(ids),
+                                 jnp.asarray(feats), jnp.asarray(vs),
+                                 max_new_tokens=max_new, eos_id=forced_eos,
+                                 cache_dtype=jnp.float32, early_exit=True)
+    g_scan2 = np.asarray(g_scan2)
+    g_we2 = np.asarray(g_we2)
+    assert g_scan2.tolist() == g_we2.tolist()
+    # prefill hidden always matches; generated-step hidden matches on every
+    # step executed before ALL sequences were done
+    ls = ids.shape[1]
+    done_at = [np.where(g_scan2[i] == 0)[0] for i in range(2)]
+    n_live = max((d[0] if len(d) else max_new) for d in done_at) + 1
+    n_live = min(n_live, max_new)
+    np.testing.assert_allclose(np.asarray(h_scan2)[:, :ls + n_live],
+                               np.asarray(h_we2)[:, :ls + n_live])
