@@ -52,6 +52,16 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
             ).astype(x.dtype)
 
 
+def _quantize_kv(x: jax.Array):
+    """Per-token-per-head absmax int8 quantization of a (B, S, H, D) K or V
+    slab. Returns (int8 values, bf16 scales broadcastable on D)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
+
+
 class LoraDelta(nn.Module):
     """Zero-init LoRA adapter: x @ A^T @ B^T * (alpha / r)."""
     features: int
@@ -111,6 +121,57 @@ class LlamaAttention(nn.Module):
                 k = jnp.repeat(k, reps, axis=2)
                 v = jnp.repeat(v, reps, axis=2)
             out = multi_head_attention(q, k, v, causal=True, mask=attn_mask)
+        elif "k_s" in kv_cache:
+            # int8 KV cache, transposed (B, Hkv, D, C) layout with
+            # per-token-per-head absmax scales. Decode (s == 1) runs the
+            # fused Pallas kernel that dequantizes in VMEM after int8 HBM
+            # reads (ops/decode_attention.py); prefill (s > 1) attends
+            # over the fresh-precision k/v directly — valid because GROVE
+            # prefill always starts from an empty cache — while writing
+            # the quantized slabs for the decode steps that follow.
+            from ..ops.decode_attention import (NEG_INF,
+                                                int8_cache_decode_attention)
+            qk, ks = _quantize_kv(k)
+            qv, vs_ = _quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(
+                kv_cache["k"], qk.transpose(0, 2, 3, 1),
+                (0, 0, 0, cache_offset))
+            cv = jax.lax.dynamic_update_slice(
+                kv_cache["v"], qv.transpose(0, 2, 3, 1),
+                (0, 0, 0, cache_offset))
+            cks = jax.lax.dynamic_update_slice(
+                kv_cache["k_s"], ks[..., 0].transpose(0, 2, 1),
+                (0, 0, cache_offset))
+            cvs = jax.lax.dynamic_update_slice(
+                kv_cache["v_s"], vs_[..., 0].transpose(0, 2, 1),
+                (0, 0, cache_offset))
+            new_cache = {"k": ck, "v": cv, "k_s": cks, "v_s": cvs}
+            if s == 1:
+                cpad = ck.shape[-1]
+                kpos = jnp.arange(cpad)[None, :]
+                valid = kpos <= cache_offset
+                if pad_lens is not None:
+                    valid = valid & ((kpos >= pad_lens[:, None])
+                                     | (kpos == cache_offset))
+                bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+                out = int8_cache_decode_attention(q[:, 0], ck, cv, cks,
+                                                  cvs, bias)
+                out = out[:, None]                       # (B, 1, H, D)
+            else:
+                kk, vv = k, v
+                if cfg.num_kv_heads != cfg.num_heads:
+                    reps = cfg.num_heads // cfg.num_kv_heads
+                    kk = jnp.repeat(kk, reps, axis=2)
+                    vv = jnp.repeat(vv, reps, axis=2)
+                kidx = jnp.arange(s)[None, None, None, :]
+                qidx = jnp.arange(s)[None, None, :, None]
+                mask = kidx <= qidx
+                if pad_lens is not None:
+                    kabs = cache_offset + kidx
+                    mask = mask & ((kabs >= pad_lens[:, None, None, None])
+                                   | (kidx == qidx))
+                out = xla_attention(q, kk.astype(q.dtype),
+                                    vv.astype(q.dtype), mask=mask)
         else:
             # write into the cache at cache_offset, attend over the prefix
             ck = jax.lax.dynamic_update_slice(
@@ -245,11 +306,28 @@ class LlamaLMHead(nn.Module):
 
 def init_kv_caches(cfg: LlamaConfig, batch: int, max_len: int,
                    dtype=jnp.bfloat16):
-    """Allocate empty per-layer KV cache buffers."""
+    """Allocate empty per-layer KV cache buffers.
+
+    `dtype=jnp.int8` allocates a quantized cache (int8 values + bf16
+    per-token-per-head scales) at ~half the HBM of bf16 — an opt-in for
+    memory-constrained serving (decode speed is ~0.9x on this hardware;
+    see ops/decode_attention.py). Quant/dequant happens inside
+    `LlamaAttention` (`_quantize_kv` + the fused decode kernel)."""
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if dtype == jnp.int8:
+        # transposed layout (B, Hkv, D, Cpad): C on vector lanes for the
+        # fused decode kernel; padded to the 128-lane tile, masked by bias
+        cpad = -(-max_len // 128) * 128
+        kshape = (batch, cfg.num_kv_heads, cfg.head_dim, cpad)
+        sshape = (batch, cfg.num_kv_heads, cpad)
+        return [
+            {"k": jnp.zeros(kshape, jnp.int8),
+             "v": jnp.zeros(kshape, jnp.int8),
+             "k_s": jnp.zeros(sshape, jnp.bfloat16),
+             "v_s": jnp.zeros(sshape, jnp.bfloat16)}
+            for _ in range(cfg.num_layers)
+        ]
     return [
-        {"k": jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim),
-                        dtype),
-         "v": jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim),
-                        dtype)}
+        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         for _ in range(cfg.num_layers)
     ]
