@@ -21,6 +21,20 @@ from ..data.video import VideoDecoder
 from ..infer.sliding import infer_clip, infer_clips_batched
 from ..text.prompts import VIDEO_GROUNDING_QUESTIONS
 
+
+def _decode_kwargs(kv_cache_dtype: Optional[str], early_stop: bool) -> Dict:
+    """Map user-facing strings to greedy-decode kwargs."""
+    import jax.numpy as jnp
+    table = {None: jnp.bfloat16, "bf16": jnp.bfloat16,
+             "bfloat16": jnp.bfloat16, "int8": jnp.int8,
+             "fp32": jnp.float32, "float32": jnp.float32}
+    if kv_cache_dtype not in table:
+        raise ValueError(f"kv_cache_dtype must be one of "
+                         f"{sorted(k for k in table if k)}, "
+                         f"got {kv_cache_dtype!r}")
+    return {"cache_dtype": table[kv_cache_dtype],
+            "early_exit": bool(early_stop)}
+
 DEFAULT_INSTRUCTION = VIDEO_GROUNDING_QUESTIONS[0]
 
 
@@ -54,7 +68,12 @@ class GroveProcessor:
                  temp_objectness_threshold: Optional[float] = None,
                  start_frame: Optional[int] = None,
                  end_frame: Optional[int] = None,
-                 video_fps: Optional[float] = None) -> Dict:
+                 video_fps: Optional[float] = None,
+                 kv_cache_dtype: Optional[str] = None,
+                 early_stop: bool = True) -> Dict:
+        """`kv_cache_dtype`: None/'bf16' (default), 'int8' (half cache
+        HBM, see ops/decode_attention.py), or 'fp32'. `early_stop` ends
+        the decode loop once every sequence emitted EOS (identical ids)."""
         frames = self.decode_video(video_path, start_frame, end_frame,
                                    video_fps)
         if frames.size == 0:
@@ -66,11 +85,14 @@ class GroveProcessor:
             model, variables, self.cfg, self.tokenizer, frames_clip,
             frames_sam, original_size, instruction=instruction,
             max_new_tokens=max_new_tokens,
-            threshold=temp_objectness_threshold)
+            threshold=temp_objectness_threshold,
+            decode_kwargs=_decode_kwargs(kv_cache_dtype, early_stop))
 
     def generate_batch(self, model, variables, video_paths,
                        instructions=None, max_new_tokens: int = 64,
-                       temp_objectness_threshold: Optional[float] = None):
+                       temp_objectness_threshold: Optional[float] = None,
+                       kv_cache_dtype: Optional[str] = None,
+                       early_stop: bool = True):
         """Batched `generate` over several clips in one device launch.
 
         `instructions` may be None (default prompt), one string (shared), or
@@ -93,4 +115,5 @@ class GroveProcessor:
         return infer_clips_batched(
             model, variables, self.cfg, self.tokenizer, samples,
             instruction=instructions, max_new_tokens=max_new_tokens,
-            threshold=temp_objectness_threshold)
+            threshold=temp_objectness_threshold,
+            decode_kwargs=_decode_kwargs(kv_cache_dtype, early_stop))

@@ -156,11 +156,15 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
                       tokenizer, spliced_ids: np.ndarray,
                       video_start: np.ndarray,
                       frames_clip, frames_sam, *,
-                      max_new_tokens: int = 64, pad_lens=None) -> Dict:
+                      max_new_tokens: int = 64, pad_lens=None,
+                      cache_dtype=jnp.bfloat16,
+                      early_exit: bool = True) -> Dict:
     """Single-call grounded caption generation (evaluate-mode equivalent).
 
     Host orchestration: encoders -> greedy decode -> host det-position
     extraction -> grounding head. Returns raw arrays + parsed text fields.
+    `cache_dtype` (jnp.bfloat16 / jnp.int8 / jnp.float32) and `early_exit`
+    tune the KV-cache decode loop (see `greedy_decode`).
     """
     video_embeds, _ = apply_jit(model, variables, frames_clip,
                                 method="encode_video")
@@ -169,7 +173,8 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
     gen_ids, hidden = greedy_decode(
         model, variables, jnp.asarray(spliced_ids), video_embeds,
         jnp.asarray(video_start), max_new_tokens=max_new_tokens,
-        eos_id=cfg.tokens.eos, pad_id=cfg.tokens.pad, pad_lens=pad_lens)
+        eos_id=cfg.tokens.eos, pad_id=cfg.tokens.pad, pad_lens=pad_lens,
+        cache_dtype=cache_dtype, early_exit=early_exit)
 
     gen_np = np.asarray(gen_ids)
     full_ids = np.concatenate([np.asarray(spliced_ids), gen_np], axis=1)

@@ -148,8 +148,12 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
                frames_clip_all: np.ndarray, frames_sam_all: np.ndarray,
                original_size, *, instruction: Optional[str] = None,
                max_new_tokens: int = 64,
-               threshold: Optional[float] = None) -> Dict:
-    """frames_*_all: (T_total, H, W, 3) preprocessed full-clip frames."""
+               threshold: Optional[float] = None,
+               decode_kwargs: Optional[Dict] = None) -> Dict:
+    """frames_*_all: (T_total, H, W, 3) preprocessed full-clip frames.
+
+    `decode_kwargs` forwards knobs to the generation loop (e.g.
+    `{"cache_dtype": jnp.int8, "early_exit": False}`)."""
     threshold = (threshold if threshold is not None
                  else cfg.temp_objectness_threshold)
     t_total = frames_clip_all.shape[0]
@@ -174,7 +178,8 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
     gen = generate_grounded(model, variables, cfg, tokenizer,
                             packed.input_ids[None],
                             np.asarray([packed.video_start]),
-                            fc, fs, max_new_tokens=max_new_tokens)
+                            fc, fs, max_new_tokens=max_new_tokens,
+                            **(decode_kwargs or {}))
 
     gen_ids = [int(t) for t in gen["generated_ids"][0]
                if t != cfg.tokens.pad]
@@ -290,7 +295,8 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
                         tokenizer, samples, *,
                         instruction: Optional[str] = None,
                         max_new_tokens: int = 64,
-                        threshold: Optional[float] = None):
+                        threshold: Optional[float] = None,
+                        decode_kwargs: Optional[Dict] = None):
     """Batched variant of `infer_clip` over several clips.
 
     The iGround instruction prompt is FIXED (`infer_iground.py:62-85`), so
@@ -349,7 +355,8 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
     gen = generate_grounded(
         model, variables, cfg, tokenizer, ids, vs,
         jnp.asarray(np.stack(fc_centers)), jnp.asarray(np.stack(fs_centers)),
-        max_new_tokens=max_new_tokens, pad_lens=pad_lens)
+        max_new_tokens=max_new_tokens, pad_lens=pad_lens,
+        **(decode_kwargs or {}))
 
     outputs = []
     for i, (s, (windows, masks, ci, center)) in enumerate(zip(samples,

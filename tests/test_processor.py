@@ -78,3 +78,19 @@ def test_processor_generate_batch_ragged_instructions(setup):
         assert few["frame_indices"] == one["frame_indices"]
         for ba, bb in zip(one["bboxes"], few["bboxes"]):
             np.testing.assert_allclose(ba, bb, rtol=2e-3, atol=2e-3)
+
+
+def test_processor_decode_knobs(setup):
+    """kv_cache_dtype / early_stop flow through to the decode loop and do
+    not change the output on the tiny model; bad dtypes are rejected."""
+    cfg, model, variables, video, _ = setup
+    proc = GroveProcessor(MockTokenizer(), cfg, fps=5.0)
+    ref = proc.generate(model, variables, video, max_new_tokens=6)
+    for kw in ({"kv_cache_dtype": "int8"},
+               {"kv_cache_dtype": "fp32", "early_stop": False},
+               {"early_stop": False}):
+        out = proc.generate(model, variables, video, max_new_tokens=6, **kw)
+        assert out["text"] == ref["text"], kw
+        assert out["frame_indices"] == ref["frame_indices"], kw
+    with pytest.raises(ValueError):
+        proc.generate(model, variables, video, kv_cache_dtype="int4")
