@@ -22,8 +22,11 @@ from ..infer.sliding import infer_clip, infer_clips_batched
 from ..text.prompts import VIDEO_GROUNDING_QUESTIONS
 
 
-def _decode_kwargs(kv_cache_dtype: Optional[str], early_stop: bool) -> Dict:
+def _decode_kwargs(kv_cache_dtype: Optional[str], early_stop: bool,
+                   temperature: float = 0.0, top_k: int = 0,
+                   top_p: float = 1.0, seed: Optional[int] = None) -> Dict:
     """Map user-facing strings to greedy-decode kwargs."""
+    import jax
     import jax.numpy as jnp
     table = {None: jnp.bfloat16, "bf16": jnp.bfloat16,
              "bfloat16": jnp.bfloat16, "int8": jnp.int8,
@@ -32,8 +35,13 @@ def _decode_kwargs(kv_cache_dtype: Optional[str], early_stop: bool) -> Dict:
         raise ValueError(f"kv_cache_dtype must be one of "
                          f"{sorted(k for k in table if k)}, "
                          f"got {kv_cache_dtype!r}")
-    return {"cache_dtype": table[kv_cache_dtype],
-            "early_exit": bool(early_stop)}
+    out = {"cache_dtype": table[kv_cache_dtype],
+           "early_exit": bool(early_stop),
+           "temperature": float(temperature), "top_k": int(top_k),
+           "top_p": float(top_p)}
+    if seed is not None:
+        out["rng_key"] = jax.random.PRNGKey(seed)
+    return out
 
 DEFAULT_INSTRUCTION = VIDEO_GROUNDING_QUESTIONS[0]
 
@@ -70,10 +78,14 @@ class GroveProcessor:
                  end_frame: Optional[int] = None,
                  video_fps: Optional[float] = None,
                  kv_cache_dtype: Optional[str] = None,
-                 early_stop: bool = True) -> Dict:
+                 early_stop: bool = True, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 1.0,
+                 seed: Optional[int] = None) -> Dict:
         """`kv_cache_dtype`: None/'bf16' (default), 'int8' (half cache
         HBM, see ops/decode_attention.py), or 'fp32'. `early_stop` ends
-        the decode loop once every sequence emitted EOS (identical ids)."""
+        the decode loop once every sequence emitted EOS (identical ids).
+        `temperature` > 0 enables stochastic sampling with optional
+        `top_k` / nucleus `top_p` truncation, seeded by `seed`."""
         frames = self.decode_video(video_path, start_frame, end_frame,
                                    video_fps)
         if frames.size == 0:
@@ -86,13 +98,16 @@ class GroveProcessor:
             frames_sam, original_size, instruction=instruction,
             max_new_tokens=max_new_tokens,
             threshold=temp_objectness_threshold,
-            decode_kwargs=_decode_kwargs(kv_cache_dtype, early_stop))
+            decode_kwargs=_decode_kwargs(kv_cache_dtype, early_stop,
+                                         temperature, top_k, top_p, seed))
 
     def generate_batch(self, model, variables, video_paths,
                        instructions=None, max_new_tokens: int = 64,
                        temp_objectness_threshold: Optional[float] = None,
                        kv_cache_dtype: Optional[str] = None,
-                       early_stop: bool = True):
+                       early_stop: bool = True, temperature: float = 0.0,
+                       top_k: int = 0, top_p: float = 1.0,
+                       seed: Optional[int] = None):
         """Batched `generate` over several clips in one device launch.
 
         `instructions` may be None (default prompt), one string (shared), or
@@ -116,4 +131,5 @@ class GroveProcessor:
             model, variables, self.cfg, self.tokenizer, samples,
             instruction=instructions, max_new_tokens=max_new_tokens,
             threshold=temp_objectness_threshold,
-            decode_kwargs=_decode_kwargs(kv_cache_dtype, early_stop))
+            decode_kwargs=_decode_kwargs(kv_cache_dtype, early_stop,
+                                         temperature, top_k, top_p, seed))

@@ -26,10 +26,40 @@ from ..text.packing import det_gather_positions
 from .jit_utils import apply_jit
 
 
+def _make_sampler(temperature: float, top_k: int, top_p: float):
+    """Token picker for the decode loop. temperature == 0 -> greedy
+    argmax; otherwise temperature-scaled sampling with optional top-k and
+    nucleus (top-p) truncation — the serving-side generation surface the
+    reference's greedy-only `evaluate()` lacks (`model/GROVE.py:418-422`).
+    """
+    if temperature <= 0.0:
+        def greedy(logits, key, step):
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return greedy
+
+    def sample(logits, key, step):
+        l = logits.astype(jnp.float32) / temperature
+        if top_k > 0:
+            kth = jax.lax.top_k(l, top_k)[0][..., -1:]
+            l = jnp.where(l < kth, -jnp.inf, l)
+        if top_p < 1.0:
+            sorted_l = jnp.sort(l, axis=-1)[..., ::-1]
+            probs = jax.nn.softmax(sorted_l, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = (cum - probs) < top_p       # first token always kept
+            thresh = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
+                             keepdims=True)
+            l = jnp.where(l >= thresh, l, -jnp.inf)
+        return jax.random.categorical(
+            jax.random.fold_in(key, step), l, axis=-1).astype(jnp.int32)
+    return sample
+
+
 @functools.lru_cache(maxsize=32)
 def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
-               pad_id: int, cache_dtype, early_exit: bool):
-    """One fused jit: prefill + greedy loop (single device launch).
+               pad_id: int, cache_dtype, early_exit: bool,
+               temperature: float, top_k: int, top_p: float):
+    """One fused jit: prefill + greedy/sampling loop (single launch).
 
     `early_exit=True` runs the token loop as a `lax.while_loop` that stops
     as soon as EVERY sequence has emitted EOS — decode is HBM-bound
@@ -41,8 +71,11 @@ def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
     past the stop step stay zero, which downstream [DET] gathering never
     reads (det positions live inside the caption, before EOS)."""
 
+    pick = _make_sampler(temperature, top_k, top_p)
+
     @jax.jit
-    def run(variables, spliced_ids, video_embeds, video_start, pad_lens):
+    def run(variables, spliced_ids, video_embeds, video_start, pad_lens,
+            rng_key):
         cfg = model.cfg
         b = spliced_ids.shape[0]
         d = cfg.llama.hidden_size
@@ -51,13 +84,13 @@ def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
         prefill_hidden, logits, caches = model.apply(
             variables, spliced_ids, video_embeds, video_start, caches,
             pad_lens, method=GroveModel.prefill)
-        first_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        first_tok = pick(logits[:, -1, :], rng_key, 0)
 
         def one_step(tok, caches, done, i):
             hidden, logits, caches = model.apply(
                 variables, tok[:, None], ls + i, caches, pad_lens,
                 method=GroveModel.decode_step)
-            next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            next_tok = pick(logits[:, -1, :], rng_key, i + 1)
             emitted = jnp.where(done, pad_id, tok)
             done_next = done | (tok == eos_id)
             next_tok = jnp.where(done_next, pad_id, next_tok)
@@ -107,9 +140,15 @@ def _decode_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
 def greedy_decode(model: GroveModel, variables, spliced_ids, video_embeds,
                   video_start, *, max_new_tokens: int, eos_id: int,
                   pad_id: int = 0, cache_dtype=jnp.bfloat16, pad_lens=None,
-                  early_exit: bool = True):
-    """Greedy generation. spliced_ids: (B, Ls); unequal prompts arrive
-    LEFT-padded with `pad_lens` (B,) set (see `left_pad_prompts`).
+                  early_exit: bool = True, temperature: float = 0.0,
+                  top_k: int = 0, top_p: float = 1.0, rng_key=None):
+    """Autoregressive generation. spliced_ids: (B, Ls); unequal prompts
+    arrive LEFT-padded with `pad_lens` (B,) set (see `left_pad_prompts`).
+
+    Greedy by default (the reference's `evaluate()` semantics);
+    `temperature > 0` switches to stochastic sampling with optional
+    `top_k` / nucleus `top_p` truncation, seeded by `rng_key` (a
+    `jax.random` key; defaults to PRNGKey(0) for reproducibility).
 
     `early_exit` stops the on-device token loop once every sequence hit
     EOS (identical emitted ids; see `_decode_fn`). Set False to force the
@@ -120,10 +159,13 @@ def greedy_decode(model: GroveModel, variables, spliced_ids, video_embeds,
     b, ls = spliced_ids.shape
     if pad_lens is None:
         pad_lens = jnp.zeros((b,), jnp.int32)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
     fn = _decode_fn(model, ls, max_new_tokens, int(eos_id), int(pad_id),
-                    cache_dtype, bool(early_exit))
+                    cache_dtype, bool(early_exit), float(temperature),
+                    int(top_k), float(top_p))
     return fn(variables, spliced_ids, video_embeds, video_start,
-              jnp.asarray(pad_lens, jnp.int32))
+              jnp.asarray(pad_lens, jnp.int32), rng_key)
 
 
 def left_pad_prompts(prompts, video_starts, pad_id: int = 0,
@@ -157,8 +199,9 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
                       video_start: np.ndarray,
                       frames_clip, frames_sam, *,
                       max_new_tokens: int = 64, pad_lens=None,
-                      cache_dtype=jnp.bfloat16,
-                      early_exit: bool = True) -> Dict:
+                      cache_dtype=jnp.bfloat16, early_exit: bool = True,
+                      temperature: float = 0.0, top_k: int = 0,
+                      top_p: float = 1.0, rng_key=None) -> Dict:
     """Single-call grounded caption generation (evaluate-mode equivalent).
 
     Host orchestration: encoders -> greedy decode -> host det-position
@@ -174,7 +217,8 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
         model, variables, jnp.asarray(spliced_ids), video_embeds,
         jnp.asarray(video_start), max_new_tokens=max_new_tokens,
         eos_id=cfg.tokens.eos, pad_id=cfg.tokens.pad, pad_lens=pad_lens,
-        cache_dtype=cache_dtype, early_exit=early_exit)
+        cache_dtype=cache_dtype, early_exit=early_exit,
+        temperature=temperature, top_k=top_k, top_p=top_p, rng_key=rng_key)
 
     gen_np = np.asarray(gen_ids)
     full_ids = np.concatenate([np.asarray(spliced_ids), gen_np], axis=1)

@@ -164,3 +164,41 @@ def test_early_exit_decode_matches_scan(setup, rng):
     n_live = min(n_live, max_new)
     np.testing.assert_allclose(np.asarray(h_scan2)[:, :ls + n_live],
                                np.asarray(h_we2)[:, :ls + n_live])
+
+
+def test_sampling_decode(setup, rng):
+    """Sampling loop: degenerate settings reproduce greedy; seeds are
+    reproducible; different seeds can differ."""
+    cfg, model, variables = setup
+    ids, vs, feats = _prompt(cfg, rng, b=2)
+    common = dict(max_new_tokens=6, eos_id=cfg.tokens.eos,
+                  cache_dtype=jnp.float32)
+    g_greedy, _ = greedy_decode(model, variables, jnp.asarray(ids),
+                                jnp.asarray(feats), jnp.asarray(vs),
+                                **common)
+    # top_k=1 keeps only the argmax token -> identical to greedy
+    g_k1, _ = greedy_decode(model, variables, jnp.asarray(ids),
+                            jnp.asarray(feats), jnp.asarray(vs),
+                            temperature=1.0, top_k=1, **common)
+    assert np.asarray(g_k1).tolist() == np.asarray(g_greedy).tolist()
+    # top_p ~ 0 keeps only the most probable token -> greedy
+    g_p0, _ = greedy_decode(model, variables, jnp.asarray(ids),
+                            jnp.asarray(feats), jnp.asarray(vs),
+                            temperature=1.0, top_p=1e-6, **common)
+    assert np.asarray(g_p0).tolist() == np.asarray(g_greedy).tolist()
+    # same seed -> same sample; the loop is deterministic given the key
+    key = jax.random.PRNGKey(7)
+    g_a, _ = greedy_decode(model, variables, jnp.asarray(ids),
+                           jnp.asarray(feats), jnp.asarray(vs),
+                           temperature=5.0, rng_key=key, **common)
+    g_b, _ = greedy_decode(model, variables, jnp.asarray(ids),
+                           jnp.asarray(feats), jnp.asarray(vs),
+                           temperature=5.0, rng_key=key, **common)
+    assert np.asarray(g_a).tolist() == np.asarray(g_b).tolist()
+    # a hot temperature with another seed should explore something else
+    g_c, _ = greedy_decode(model, variables, jnp.asarray(ids),
+                           jnp.asarray(feats), jnp.asarray(vs),
+                           temperature=5.0, rng_key=jax.random.PRNGKey(8),
+                           **common)
+    assert (np.asarray(g_c).tolist() != np.asarray(g_a).tolist()
+            or np.asarray(g_a).tolist() != np.asarray(g_greedy).tolist())
