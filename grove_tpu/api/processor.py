@@ -24,7 +24,9 @@ from ..text.prompts import VIDEO_GROUNDING_QUESTIONS
 
 def _decode_kwargs(kv_cache_dtype: Optional[str], early_stop: bool,
                    temperature: float = 0.0, top_k: int = 0,
-                   top_p: float = 1.0, seed: Optional[int] = None) -> Dict:
+                   top_p: float = 1.0, seed: Optional[int] = None,
+                   num_beams: int = 1,
+                   length_penalty: float = 1.0) -> Dict:
     """Map user-facing strings to greedy-decode kwargs."""
     import jax
     import jax.numpy as jnp
@@ -35,10 +37,14 @@ def _decode_kwargs(kv_cache_dtype: Optional[str], early_stop: bool,
         raise ValueError(f"kv_cache_dtype must be one of "
                          f"{sorted(k for k in table if k)}, "
                          f"got {kv_cache_dtype!r}")
+    if num_beams > 1 and temperature > 0:
+        raise ValueError("num_beams > 1 is deterministic; "
+                         "drop temperature or use num_beams=1")
     out = {"cache_dtype": table[kv_cache_dtype],
            "early_exit": bool(early_stop),
            "temperature": float(temperature), "top_k": int(top_k),
-           "top_p": float(top_p)}
+           "top_p": float(top_p), "num_beams": int(num_beams),
+           "length_penalty": float(length_penalty)}
     if seed is not None:
         out["rng_key"] = jax.random.PRNGKey(seed)
     return out
@@ -80,12 +86,15 @@ class GroveProcessor:
                  kv_cache_dtype: Optional[str] = None,
                  early_stop: bool = True, temperature: float = 0.0,
                  top_k: int = 0, top_p: float = 1.0,
-                 seed: Optional[int] = None) -> Dict:
+                 seed: Optional[int] = None, num_beams: int = 1,
+                 length_penalty: float = 1.0) -> Dict:
         """`kv_cache_dtype`: None/'bf16' (default), 'int8' (half cache
         HBM, see ops/decode_attention.py), or 'fp32'. `early_stop` ends
         the decode loop once every sequence emitted EOS (identical ids).
         `temperature` > 0 enables stochastic sampling with optional
-        `top_k` / nucleus `top_p` truncation, seeded by `seed`."""
+        `top_k` / nucleus `top_p` truncation, seeded by `seed`.
+        `num_beams` > 1 switches to beam search (deterministic;
+        `length_penalty` normalizes final scores, HF convention)."""
         frames = self.decode_video(video_path, start_frame, end_frame,
                                    video_fps)
         if frames.size == 0:
@@ -99,7 +108,8 @@ class GroveProcessor:
             max_new_tokens=max_new_tokens,
             threshold=temp_objectness_threshold,
             decode_kwargs=_decode_kwargs(kv_cache_dtype, early_stop,
-                                         temperature, top_k, top_p, seed))
+                                         temperature, top_k, top_p, seed,
+                                         num_beams, length_penalty))
 
     def generate_batch(self, model, variables, video_paths,
                        instructions=None, max_new_tokens: int = 64,
@@ -107,7 +117,8 @@ class GroveProcessor:
                        kv_cache_dtype: Optional[str] = None,
                        early_stop: bool = True, temperature: float = 0.0,
                        top_k: int = 0, top_p: float = 1.0,
-                       seed: Optional[int] = None):
+                       seed: Optional[int] = None, num_beams: int = 1,
+                       length_penalty: float = 1.0):
         """Batched `generate` over several clips in one device launch.
 
         `instructions` may be None (default prompt), one string (shared), or
@@ -132,4 +143,5 @@ class GroveProcessor:
             instruction=instructions, max_new_tokens=max_new_tokens,
             threshold=temp_objectness_threshold,
             decode_kwargs=_decode_kwargs(kv_cache_dtype, early_stop,
-                                         temperature, top_k, top_p, seed))
+                                         temperature, top_k, top_p, seed,
+                                         num_beams, length_penalty))

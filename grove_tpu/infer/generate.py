@@ -201,7 +201,9 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
                       max_new_tokens: int = 64, pad_lens=None,
                       cache_dtype=jnp.bfloat16, early_exit: bool = True,
                       temperature: float = 0.0, top_k: int = 0,
-                      top_p: float = 1.0, rng_key=None) -> Dict:
+                      top_p: float = 1.0, rng_key=None,
+                      num_beams: int = 1,
+                      length_penalty: float = 1.0) -> Dict:
     """Single-call grounded caption generation (evaluate-mode equivalent).
 
     Host orchestration: encoders -> greedy decode -> host det-position
@@ -213,12 +215,22 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
                                 method="encode_video")
     image_embeddings = apply_jit(model, variables, frames_sam,
                                  method="encode_grounding")
-    gen_ids, hidden = greedy_decode(
-        model, variables, jnp.asarray(spliced_ids), video_embeds,
-        jnp.asarray(video_start), max_new_tokens=max_new_tokens,
-        eos_id=cfg.tokens.eos, pad_id=cfg.tokens.pad, pad_lens=pad_lens,
-        cache_dtype=cache_dtype, early_exit=early_exit,
-        temperature=temperature, top_k=top_k, top_p=top_p, rng_key=rng_key)
+    if num_beams > 1:
+        from .beam import beam_decode
+        gen_ids, hidden, _ = beam_decode(
+            model, variables, jnp.asarray(spliced_ids), video_embeds,
+            jnp.asarray(video_start), max_new_tokens=max_new_tokens,
+            eos_id=cfg.tokens.eos, pad_id=cfg.tokens.pad,
+            num_beams=num_beams, length_penalty=length_penalty,
+            cache_dtype=cache_dtype, pad_lens=pad_lens)
+    else:
+        gen_ids, hidden = greedy_decode(
+            model, variables, jnp.asarray(spliced_ids), video_embeds,
+            jnp.asarray(video_start), max_new_tokens=max_new_tokens,
+            eos_id=cfg.tokens.eos, pad_id=cfg.tokens.pad,
+            pad_lens=pad_lens, cache_dtype=cache_dtype,
+            early_exit=early_exit, temperature=temperature, top_k=top_k,
+            top_p=top_p, rng_key=rng_key)
 
     gen_np = np.asarray(gen_ids)
     full_ids = np.concatenate([np.asarray(spliced_ids), gen_np], axis=1)
