@@ -1,0 +1,262 @@
+"""Serving layer: HTTP endpoint with dynamic micro-batching.
+
+The reference's only "serving" story is SLURM batch inference over DDP
+ranks (`infer_eval_scripts/*.sh`); this module adds an online path: a
+threaded HTTP server whose requests are funneled into a single batcher
+thread that groups up to `max_batch` clips (or whatever arrived within
+`batch_timeout_ms`) into ONE device launch via
+`GroveProcessor.generate_batch` — the left-padded lockstep decode makes
+ragged per-request instructions batchable. One batcher thread means one
+in-flight device program: requests queue on the host, the TPU stays fed,
+and per-launch overhead amortizes across concurrent callers (same
+economics as the offline bench: batch 32 saturates this chip).
+
+Endpoints (JSON over stdlib http.server, no extra deps):
+  GET  /healthz            -> {"status": "ok", "model": ...}
+  POST /generate           -> {"text", "phrases", "bboxes", ...}
+    body: {"video_path": ..., "instruction"?, "max_new_tokens"?,
+           "temperature"?, "top_k"?, "top_p"?, "seed"?, "num_beams"?,
+           "kv_cache_dtype"?, "early_stop"?}
+
+`video_path` is a server-visible path (production deployments mount the
+clip store; shipping raw video through JSON would dwarf the tensors).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_KNOBS = ("instruction", "max_new_tokens", "temperature", "top_k", "top_p",
+          "seed", "num_beams", "kv_cache_dtype", "early_stop",
+          "length_penalty", "temp_objectness_threshold")
+
+
+def _jsonable(out: Dict) -> Dict:
+    """Convert a processor output dict (numpy arrays inside) to JSON."""
+    res = {}
+    for k, v in out.items():
+        if isinstance(v, np.ndarray):
+            res[k] = v.tolist()
+        elif isinstance(v, (list, tuple)):
+            res[k] = [x.tolist() if isinstance(x, np.ndarray) else x
+                      for x in v]
+        else:
+            res[k] = v
+    return res
+
+
+class _Pending:
+    __slots__ = ("payload", "event", "result", "error")
+
+    def __init__(self, payload):
+        self.payload = payload
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class BatchingEngine:
+    """Groups concurrent /generate requests into one device launch.
+
+    Requests are batchable together only when their decode knobs agree
+    (they share one compiled program); the batcher drains the queue and
+    splits it into knob-groups, largest first."""
+
+    def __init__(self, processor, model, variables, *, max_batch: int = 8,
+                 batch_timeout_ms: float = 10.0):
+        self.processor = processor
+        self.model = model
+        self.variables = variables
+        self.max_batch = max_batch
+        self.batch_timeout = batch_timeout_ms / 1000.0
+        self.queue: "queue.Queue[_Pending]" = queue.Queue()
+        self.batches_run = 0
+        self.requests_served = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, payload: Dict, timeout: float = 300.0) -> Dict:
+        p = _Pending(payload)
+        self.queue.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _drain(self) -> List[_Pending]:
+        """Block for one request, then grab whatever else arrives within
+        the batching window (up to max_batch)."""
+        try:
+            first = self.queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.batch_timeout
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    @staticmethod
+    def _knob_key(payload: Dict):
+        return tuple(payload.get(k) for k in _KNOBS if k != "instruction")
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._drain()
+            if not batch:
+                continue
+            groups: Dict[tuple, List[_Pending]] = {}
+            for p in batch:
+                groups.setdefault(self._knob_key(p.payload), []).append(p)
+            for group in sorted(groups.values(), key=len, reverse=True):
+                self._run_group(group)
+
+    def _run_group(self, group: List[_Pending]):
+        try:
+            kwargs = {k: group[0].payload[k] for k in _KNOBS
+                      if k != "instruction" and k in group[0].payload}
+            paths = [p.payload["video_path"] for p in group]
+            instructions = [p.payload.get("instruction") for p in group]
+            if all(i is None for i in instructions):
+                instructions = None
+            outs = self.processor.generate_batch(
+                self.model, self.variables, paths,
+                instructions=instructions, **kwargs)
+            self.batches_run += 1
+            self.requests_served += len(group)
+            for p, out in zip(group, outs):
+                p.result = _jsonable(out)
+                p.event.set()
+        except Exception as e:                           # noqa: BLE001
+            for p in group:
+                p.error = e
+                p.event.set()
+
+
+class GroveServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, engine: BatchingEngine, model_name: str):
+        self.engine = engine
+        self.model_name = model_name
+        super().__init__(addr, _Handler)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):                           # quiet by default
+        pass
+
+    def _send(self, code: int, obj: Dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            eng = self.server.engine
+            self._send(200, {
+                "status": "ok", "model": self.server.model_name,
+                "batches_run": eng.batches_run,
+                "requests_served": eng.requests_served,
+            })
+        else:
+            self._send(404, {"error": "not found"})
+
+    def do_POST(self):
+        if self.path != "/generate":
+            self._send(404, {"error": "not found"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+            if "video_path" not in payload:
+                self._send(400, {"error": "video_path required"})
+                return
+            out = self.server.engine.submit(payload)
+            self._send(200, out)
+        except TimeoutError as e:
+            self._send(504, {"error": str(e)})
+        except FileNotFoundError as e:
+            self._send(400, {"error": str(e)})
+        except ValueError as e:
+            self._send(400, {"error": str(e)})
+        except Exception as e:                           # noqa: BLE001
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def serve(processor, model, variables, *, host: str = "127.0.0.1",
+          port: int = 8470, max_batch: int = 8,
+          batch_timeout_ms: float = 10.0, model_name: str = "grove_tpu"):
+    """Build (server, engine); call server.serve_forever() to run."""
+    engine = BatchingEngine(processor, model, variables,
+                            max_batch=max_batch,
+                            batch_timeout_ms=batch_timeout_ms)
+    server = GroveServer((host, port), engine, model_name)
+    return server, engine
+
+
+def main(argv: Optional[List[str]] = None):
+    import argparse
+
+    from ..api.model import GroveForCausalLM
+    from ..api.processor import GroveProcessor
+
+    p = argparse.ArgumentParser("grove_tpu.serve")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", default=8470, type=int)
+    p.add_argument("--model_size", default="small",
+                   choices=["tiny", "small", "full"])
+    p.add_argument("--version", default=None,
+                   help="checkpoint: HF-layout dir / Orbax dir / torch "
+                        ".bin (random init if omitted — smoke-serving)")
+    p.add_argument("--tokenizer", default=None,
+                   help="tokenizer path (MockTokenizer if omitted)")
+    p.add_argument("--max_batch", default=8, type=int)
+    p.add_argument("--batch_timeout_ms", default=10.0, type=float)
+    args = p.parse_args(argv)
+
+    if args.tokenizer:
+        from ..text.tokenizer import load_grove_tokenizer
+        tok = load_grove_tokenizer(args.tokenizer)
+    else:
+        from ..text.mock_tokenizer import MockTokenizer
+        tok = MockTokenizer()
+
+    lm = GroveForCausalLM.from_pretrained(args.version,
+                                          model_size=args.model_size,
+                                          tokenizer=tok)
+    proc = GroveProcessor(tok, lm.cfg)
+    server, _ = serve(proc, lm.model, lm.variables, host=args.host,
+                      port=args.port, max_batch=args.max_batch,
+                      batch_timeout_ms=args.batch_timeout_ms,
+                      model_name=f"grove-{args.model_size}")
+    print(f"serving grove-{args.model_size} on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

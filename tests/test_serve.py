@@ -1,0 +1,109 @@
+"""Serving layer: HTTP round trip, dynamic micro-batching, error paths."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grove_tpu.api.processor import GroveProcessor
+from grove_tpu.config import GroveConfig
+from grove_tpu.data.synthetic import _make_clip
+from grove_tpu.models.grove import init_grove_params
+from grove_tpu.serve import serve
+from grove_tpu.text.mock_tokenizer import MockTokenizer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    cfg = GroveConfig.tiny()
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.float32, batch=1)
+    proc = GroveProcessor(MockTokenizer(), cfg)
+    root = tmp_path_factory.mktemp("serve")
+    clips = []
+    for i in range(3):
+        p = str(root / f"clip{i}.gif")
+        _make_clip(p, 6, 40, 32, 5.0, np.random.default_rng(i))
+        clips.append(p)
+    srv, engine = serve(proc, model, variables, port=0, max_batch=4,
+                        batch_timeout_ms=150.0, model_name="grove-tiny")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address[:2]
+    base = f"http://{host}:{port}"
+    yield base, engine, clips
+    srv.shutdown()
+    engine.close()
+
+
+def _post(base, payload, timeout=300):
+    req = urllib.request.Request(
+        f"{base}/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    base, _, _ = server
+    with urllib.request.urlopen(f"{base}/healthz") as r:
+        out = json.loads(r.read())
+    assert out["status"] == "ok"
+    assert out["model"] == "grove-tiny"
+
+
+def test_generate_roundtrip(server):
+    base, _, clips = server
+    out = _post(base, {"video_path": clips[0], "max_new_tokens": 4})
+    assert isinstance(out["text"], str)
+    assert len(out["bboxes"]) == len(out["frame_indices"])
+    # decode knobs flow through
+    out2 = _post(base, {"video_path": clips[0], "max_new_tokens": 4,
+                        "num_beams": 2})
+    assert isinstance(out2["text"], str)
+
+
+def test_concurrent_requests_micro_batch(server):
+    base, engine, clips = server
+    before_batches = engine.batches_run
+    before_reqs = engine.requests_served
+    results = [None] * 4
+    errors = []
+
+    def call(i):
+        try:
+            results[i] = _post(base, {"video_path": clips[i % 3],
+                                      "max_new_tokens": 4})
+        except Exception as e:                            # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert all(r is not None for r in results)
+    served = engine.requests_served - before_reqs
+    batches = engine.batches_run - before_batches
+    assert served == 4
+    # at least some coalescing happened (4 requests in <=3 launches)
+    assert batches < served, (batches, served)
+
+
+def test_error_paths(server):
+    base, _, clips = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, {})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, {"video_path": clips[0], "kv_cache_dtype": "int4"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, {"video_path": "/nonexistent/clip.gif"})
+    assert e.value.code in (400, 500)
