@@ -213,7 +213,8 @@ def update_and_sort_video_outputs(gathered: List[Dict]) -> Dict:
 
 def run_inference(dataset, model, variables, cfg: GroveConfig, tokenizer,
                   *, max_new_tokens: int = 64, rank: int = 0, world: int = 1,
-                  progress: bool = True, clip_batch: int = 4) -> Dict:
+                  progress: bool = True, clip_batch: int = 4,
+                  decode_kwargs: Optional[Dict] = None) -> Dict:
     """Per-rank sliding-window inference over the dataset shard.
 
     Clips are processed in groups of `clip_batch`: the fixed-prompt
@@ -238,7 +239,8 @@ def run_inference(dataset, model, variables, cfg: GroveConfig, tokenizer,
         if gi + 2 < len(groups):
             futures.append(pool.submit(load_group, groups[gi + 2]))
         outs = infer_clips_batched(model, variables, cfg, tokenizer,
-                                   samples, max_new_tokens=max_new_tokens)
+                                   samples, max_new_tokens=max_new_tokens,
+                                   decode_kwargs=decode_kwargs)
         for sample, out in zip(samples, outs):
             uid = f"{sample['video_id']}_{sample['clip_id']}"
             video_outputs[uid] = {
@@ -296,6 +298,14 @@ def main(argv=None):
     p.add_argument("--max_new_tokens", default=64, type=int)
     p.add_argument("--max_frames", default=512, type=int)
     p.add_argument("--seed", default=42, type=int)
+    # decode knobs (generation-bearing tasks; the reference is greedy-only)
+    p.add_argument("--num_beams", default=1, type=int)
+    p.add_argument("--temperature", default=0.0, type=float)
+    p.add_argument("--top_k", default=0, type=int)
+    p.add_argument("--top_p", default=1.0, type=float)
+    p.add_argument("--kv_cache_dtype", default=None,
+                   choices=["bf16", "int8", "fp32"])
+    p.add_argument("--no_early_stop", action="store_true")
     args = p.parse_args(argv)
 
     cfg = {"tiny": GroveConfig.tiny, "small": GroveConfig.small,
@@ -352,12 +362,18 @@ def main(argv=None):
         print(f"loaded {report['converted']} tensors")
 
     if args.task == "iground":
+        from ..api.processor import _decode_kwargs
+        dk = _decode_kwargs(args.kv_cache_dtype, not args.no_early_stop,
+                            args.temperature, args.top_k, args.top_p,
+                            args.seed if args.temperature > 0 else None,
+                            args.num_beams)
         dataset = FullClipIGroundDataset(args.ann_dir, args.video_dir, cfg,
                                          max_frames=args.max_frames)
         outputs = run_inference(dataset, model, variables, cfg, tokenizer,
                                 max_new_tokens=args.max_new_tokens,
                                 rank=jax.process_index(),
-                                world=jax.process_count())
+                                world=jax.process_count(),
+                                decode_kwargs=dk)
     elif args.task == "vidstg":
         dataset = FullClipVidSTGDataset(args.ann_dir, args.video_dir, cfg,
                                         max_frames=args.max_frames)
