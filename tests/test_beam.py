@@ -110,3 +110,30 @@ def test_beam_deterministic(setup, rng):
                            jnp.asarray(feats), jnp.asarray(vs), **kw)
     assert np.asarray(a).tolist() == np.asarray(b).tolist()
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_beam_left_padded_matches_per_sample(setup, rng):
+    """Ragged prompts: left-padded batched beam search must reproduce the
+    per-sample beam result (pad masking + RoPE shift under beam rows)."""
+    from grove_tpu.infer.generate import left_pad_prompts
+
+    cfg, model, variables = setup
+    nv = cfg.num_video_tokens
+    base = rng.integers(3, 100, size=(nv + 8,)).astype(np.int32)
+    base[0] = cfg.tokens.bos
+    base[2:2 + nv] = 0
+    prompts = [base.tolist(), base[: nv + 5].tolist()]
+    pids, pvs, plens = left_pad_prompts(prompts, [2, 2])
+    feats = rng.normal(size=(2, nv, cfg.llama.hidden_size)).astype(
+        np.float32)
+    kw = dict(num_beams=3, max_new_tokens=4, eos_id=cfg.tokens.eos,
+              cache_dtype=jnp.float32)
+    gb, _, _ = beam_decode(model, variables, jnp.asarray(pids),
+                           jnp.asarray(feats), jnp.asarray(pvs),
+                           pad_lens=plens, **kw)
+    for i, p in enumerate(prompts):
+        gi, _, _ = beam_decode(model, variables,
+                               jnp.asarray([p], np.int32),
+                               jnp.asarray(feats[i:i + 1]),
+                               jnp.asarray([2], np.int32), **kw)
+        assert np.asarray(gb)[i].tolist() == np.asarray(gi)[0].tolist(), i
