@@ -40,6 +40,9 @@ def _decode_kwargs(kv_cache_dtype: Optional[str], early_stop: bool,
     if num_beams > 1 and temperature > 0:
         raise ValueError("num_beams > 1 is deterministic; "
                          "drop temperature or use num_beams=1")
+    if num_beams > 1 and kv_cache_dtype == "int8":
+        raise ValueError("num_beams > 1 requires a reorderable KV cache; "
+                         "use kv_cache_dtype='bf16' or 'fp32'")
     out = {"cache_dtype": table[kv_cache_dtype],
            "early_exit": bool(early_stop),
            "temperature": float(temperature), "top_k": int(top_k),

@@ -17,11 +17,15 @@ followed by the standard fragmentation penalty:
   score   = F_mean * (1 - penalty)
 
 with the classic parameters alpha=0.9, beta=3.0, gamma=0.5 (the same
-algorithm/parameters as nltk.translate.meteor_score, minus its optional
-WordNet-synonym stage). Segment scores take the max over references; the
-corpus score is the mean over segments. Because the synonym/paraphrase
-stages are absent, scores are a slight *underestimate* of METEOR-1.5 on
-captions with synonymous rewordings — this is documented rather than faked.
+parameters as nltk.translate.meteor_score, minus its optional
+WordNet-synonym stage). The word alignment is a single left-to-right pass
+preferring contiguous continuations (`_greedy_match`) — an approximation
+of METEOR's chunk-minimizing beam alignment that agrees with it except on
+pathological repeated-word ties. Segment scores take the max over
+references; the corpus score is the mean over segments. Because the
+synonym/paraphrase stages are absent, scores are a slight *underestimate*
+of METEOR-1.5 on captions with synonymous rewordings — this is documented
+rather than faked.
 
 The Porter stemmer below is a from-spec implementation of Porter (1980),
 "An algorithm for suffix stripping".
@@ -192,22 +196,31 @@ def porter_stem(word: str) -> str:
 
 def _greedy_match(hyp_items: List[Tuple[int, str]],
                   ref_items: List[Tuple[int, str]]):
-    """First-come greedy 1-1 matching of equal strings.
+    """Left-to-right 1-1 matching of equal strings, preferring the ref
+    position that CONTINUES the previous match (prev_ref + 1) so repeated
+    words don't fragment the alignment into spurious chunks — e.g. ref
+    "b a b" / hyp "a b" aligns b->b at index 2 (one chunk), not index 0.
+    This approximates METEOR's chunk-minimizing beam alignment with a
+    single pass.
 
     Returns (matches [(hyp_idx, ref_idx)], hyp_leftover, ref_leftover)."""
     matches = []
     ref_used = [False] * len(ref_items)
     hyp_left = []
+    prev_ref = None
     for hi, hw in hyp_items:
-        found = False
-        for j, (ri, rw) in enumerate(ref_items):
-            if not ref_used[j] and hw == rw:
-                matches.append((hi, ri))
-                ref_used[j] = True
-                found = True
-                break
-        if not found:
+        cands = [j for j, (ri, rw) in enumerate(ref_items)
+                 if not ref_used[j] and hw == rw]
+        if not cands:
             hyp_left.append((hi, hw))
+            continue
+        j = next((j for j in cands
+                  if prev_ref is not None
+                  and ref_items[j][0] == prev_ref + 1), cands[0])
+        ri = ref_items[j][0]
+        matches.append((hi, ri))
+        ref_used[j] = True
+        prev_ref = ri
     ref_left = [it for j, it in enumerate(ref_items) if not ref_used[j]]
     return matches, hyp_left, ref_left
 

@@ -99,6 +99,16 @@ def _beam_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
             new_scores, flat_idx = jax.lax.top_k(flat, k)     # (B, K)
             beam_idx = flat_idx // v                          # (B, K)
             new_tok = (flat_idx % v).astype(jnp.int32)
+            # final iteration: the token selected here would never be
+            # recorded (tokens only holds max_new entries), so skip the
+            # re-rank entirely — otherwise scores carry one unrecorded
+            # token's log-prob and bias selection against unfrozen beams
+            is_last = i == (max_new_tokens - 1)
+            new_scores = jnp.where(is_last, scores, new_scores)
+            beam_idx = jnp.where(is_last,
+                                 jnp.broadcast_to(jnp.arange(k)[None],
+                                                  (b, k)), beam_idx)
+            new_tok = jnp.where(is_last, pad_id, new_tok)
 
             # reorder everything that lives per-beam
             row_idx = (jnp.arange(b)[:, None] * k + beam_idx).reshape(r)
@@ -140,8 +150,10 @@ def beam_decode(model: GroveModel, variables, spliced_ids, video_embeds,
     Returns (best_ids (B, max_new), hidden (B, Ls+max_new, D),
     beam_scores (B, K) length-normalized). With num_beams=1 the ids match
     `greedy_decode` exactly (tested)."""
-    assert cache_dtype != jnp.int8, \
-        "beam search needs a reorderable cache; use bf16/fp32"
+    if cache_dtype == jnp.int8:
+        raise ValueError("beam search needs a reorderable KV cache; "
+                         "use bf16/fp32 (int8's transposed layout would "
+                         "make the per-step beam reorder a lane gather)")
     b, ls = spliced_ids.shape
     if pad_lens is None:
         pad_lens = jnp.zeros((b,), jnp.int32)

@@ -361,12 +361,19 @@ def main(argv=None):
         variables = {"params": params}
         print(f"loaded {report['converted']} tensors")
 
+    from ..api.processor import _decode_kwargs
+    dk = _decode_kwargs(args.kv_cache_dtype, not args.no_early_stop,
+                        args.temperature, args.top_k, args.top_p,
+                        args.seed if args.temperature > 0 else None,
+                        args.num_beams)
+    if args.task in ("vidstg", "groundingyoutube", "youcookinteractions") \
+            and (args.num_beams > 1 or args.temperature > 0):
+        # these tasks ground a GIVEN caption — there is no generation for
+        # the flags to steer
+        p.error(f"--num_beams/--temperature have no effect on "
+                f"caption-given task {args.task!r}")
+
     if args.task == "iground":
-        from ..api.processor import _decode_kwargs
-        dk = _decode_kwargs(args.kv_cache_dtype, not args.no_early_stop,
-                            args.temperature, args.top_k, args.top_p,
-                            args.seed if args.temperature > 0 else None,
-                            args.num_beams)
         dataset = FullClipIGroundDataset(args.ann_dir, args.video_dir, cfg,
                                          max_frames=args.max_frames)
         outputs = run_inference(dataset, model, variables, cfg, tokenizer,
@@ -388,7 +395,8 @@ def main(argv=None):
         outputs = run_anet_inference(
             dataset, model, variables, cfg, tokenizer,
             max_new_tokens=args.max_new_tokens,
-            rank=jax.process_index(), world=jax.process_count())
+            rank=jax.process_index(), world=jax.process_count(),
+            decode_kwargs=dk)
     else:
         key = ("segment_groundingyoutube_idx"
                if args.task == "groundingyoutube"
@@ -406,10 +414,6 @@ def main(argv=None):
             pickle.dump(outputs, f)
         print(f"wrote {len(outputs)} clip predictions to {args.output}")
     return outputs
-
-
-if __name__ == "__main__":
-    main()
 
 
 # ---------------------------------------------------------------------------
@@ -465,7 +469,8 @@ def _phrase_word_indices(caption: str, phrases: List[str]) -> List[int]:
 
 def run_anet_inference(dataset, model, variables, cfg: GroveConfig,
                        tokenizer, *, max_new_tokens: int = 64, rank: int = 0,
-                       world: int = 1, progress: bool = True) -> Dict:
+                       world: int = 1, progress: bool = True,
+                       decode_kwargs: Optional[Dict] = None) -> Dict:
     """Sliding windows [0-8), [1-9), [2-10): generate on window 0, box-only
     passes for frames 8 and 9 (`infer_anet.py:111-292`). Emits the official
     submission structure {vid: {seg: {clss, idx_in_sent,
@@ -499,7 +504,7 @@ def run_anet_inference(dataset, model, variables, cfg: GroveConfig,
             model, variables, cfg, tokenizer, packed.input_ids[None],
             np.asarray([packed.video_start]),
             jnp.asarray(fc_all[w0][None]), jnp.asarray(fs_all[w0][None]),
-            max_new_tokens=max_new_tokens)
+            max_new_tokens=max_new_tokens, **(decode_kwargs or {}))
         gen_ids = [int(t) for t in gen["generated_ids"][0]
                    if t != cfg.tokens.pad]
         raw = tokenizer.decode(gen_ids, skip_special_tokens=False)
@@ -582,3 +587,7 @@ def run_anet_inference(dataset, model, variables, cfg: GroveConfig,
             print(f"[{rank}] anet {vid}/{s['segment_id']}: "
                   f"{time.time() - t0:.1f}s", flush=True)
     return outputs
+
+
+if __name__ == "__main__":
+    main()

@@ -53,13 +53,14 @@ def _jsonable(out: Dict) -> Dict:
 
 
 class _Pending:
-    __slots__ = ("payload", "event", "result", "error")
+    __slots__ = ("payload", "event", "result", "error", "abandoned")
 
     def __init__(self, payload):
         self.payload = payload
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.abandoned = False   # set when the submitter gave up waiting
 
 
 class BatchingEngine:
@@ -87,6 +88,9 @@ class BatchingEngine:
         p = _Pending(payload)
         self.queue.put(p)
         if not p.event.wait(timeout):
+            # mark so the batcher drops it instead of burning a device
+            # launch on a result nobody will read
+            p.abandoned = True
             raise TimeoutError("generation timed out")
         if p.error is not None:
             raise p.error
@@ -118,24 +122,40 @@ class BatchingEngine:
         return batch
 
     @staticmethod
-    def _knob_key(payload: Dict):
-        return tuple(payload.get(k) for k in _KNOBS if k != "instruction")
+    def _knob_key(payload: Dict) -> str:
+        """Hashable grouping key; json round-trip handles any client value
+        (lists/dicts included) without crashing the batcher."""
+        vals = {k: payload.get(k) for k in _KNOBS
+                if k != "instruction" and payload.get(k) is not None}
+        return json.dumps(vals, sort_keys=True, default=str)
 
     def _loop(self):
         while not self._stop.is_set():
-            batch = self._drain()
-            if not batch:
-                continue
-            groups: Dict[tuple, List[_Pending]] = {}
-            for p in batch:
-                groups.setdefault(self._knob_key(p.payload), []).append(p)
-            for group in sorted(groups.values(), key=len, reverse=True):
-                self._run_group(group)
+            batch: List[_Pending] = []
+            try:
+                batch = [p for p in self._drain() if not p.abandoned]
+                if not batch:
+                    continue
+                groups: Dict[str, List[_Pending]] = {}
+                for p in batch:
+                    groups.setdefault(self._knob_key(p.payload), []).append(p)
+                for group in sorted(groups.values(), key=len, reverse=True):
+                    self._run_group(group)
+            except Exception as e:                       # noqa: BLE001
+                # the batcher thread must never die: fail whatever was in
+                # flight and keep serving
+                for p in batch:
+                    if not p.event.is_set():
+                        p.error = e
+                        p.event.set()
 
-    def _run_group(self, group: List[_Pending]):
+    def _run_group(self, group: List[_Pending], *, isolate: bool = True):
         try:
+            # JSON null == absent: clients sending {"temperature": null}
+            # mean "default", not the Python value None
             kwargs = {k: group[0].payload[k] for k in _KNOBS
-                      if k != "instruction" and k in group[0].payload}
+                      if k != "instruction"
+                      and group[0].payload.get(k) is not None}
             paths = [p.payload["video_path"] for p in group]
             instructions = [p.payload.get("instruction") for p in group]
             if all(i is None for i in instructions):
@@ -149,9 +169,15 @@ class BatchingEngine:
                 p.result = _jsonable(out)
                 p.event.set()
         except Exception as e:                           # noqa: BLE001
-            for p in group:
-                p.error = e
-                p.event.set()
+            if isolate and len(group) > 1:
+                # don't let one bad clip poison its co-batched neighbors:
+                # retry each request alone so only the culprit fails
+                for p in group:
+                    self._run_group([p], isolate=False)
+            else:
+                for p in group:
+                    p.error = e
+                    p.event.set()
 
 
 class GroveServer(ThreadingHTTPServer):

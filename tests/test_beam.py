@@ -137,3 +137,34 @@ def test_beam_left_padded_matches_per_sample(setup, rng):
                                jnp.asarray(feats[i:i + 1]),
                                jnp.asarray([2], np.int32), **kw)
         assert np.asarray(gb)[i].tolist() == np.asarray(gi)[0].tolist(), i
+
+
+def test_beam_scores_are_exact_logprob_sums(setup, rng):
+    """Returned beam scores must equal the teacher-forced log-prob sum of
+    the returned tokens divided by their count (length_penalty=1) — the
+    regression here is counting a never-recorded extra token's log-prob."""
+    cfg, model, variables = setup
+    ids, vs, feats = _prompt(cfg, rng, b=1)
+    max_new = 4
+    best, _, scores = beam_decode(
+        model, variables, jnp.asarray(ids), jnp.asarray(feats),
+        jnp.asarray(vs), num_beams=1, max_new_tokens=max_new,
+        eos_id=cfg.tokens.eos, cache_dtype=jnp.float32)
+    best = np.asarray(best)[0]
+    full = np.concatenate([ids[0], best])[None]
+    _, logits = model.apply(variables, jnp.asarray(full),
+                            jnp.asarray(feats), jnp.asarray(vs),
+                            method=GroveModel.lm_forward)
+    logits = np.asarray(logits, np.float64)[0]
+    ls = ids.shape[1]
+    lp_sum, n = 0.0, 0
+    for s, tok in enumerate(best):
+        if tok == cfg.tokens.pad:
+            break
+        row = logits[ls - 1 + s]
+        row = row - row.max()
+        lp_sum += row[tok] - np.log(np.exp(row).sum())
+        n += 1
+    want = lp_sum / max(n, 1)
+    got = float(np.asarray(scores)[0, 0])
+    assert abs(got - want) < 2e-3, (got, want)

@@ -154,3 +154,12 @@ def test_pointing_accuracy():
     acc, correct, valid = pointing_accuracy(preds, gt)
     assert valid == 2 and correct == 1
     assert abs(acc - 50.0) < 1e-9
+
+
+def test_meteor_repeated_word_alignment():
+    # ref "b a b", hyp "a b": the contiguity-preferring aligner matches
+    # hyp "b" to ref index 2 (continuing a@1), giving ONE chunk:
+    # m=2, P=1, R=2/3, fmean=(2/3)/(0.9+0.1*2/3)=20/29,
+    # penalty=0.5*(1/2)^3=1/16 -> score = (20/29)*(15/16)
+    s = meteor_sentence(["b a b"], "a b")
+    assert abs(s - (20 / 29) * (15 / 16)) < 1e-9

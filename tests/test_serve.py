@@ -107,3 +107,58 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(base, {"video_path": "/nonexistent/clip.gif"})
     assert e.value.code in (400, 500)
+
+
+def test_batcher_survives_unhashable_knobs(server):
+    """A malformed knob value (list) must not kill the batcher thread."""
+    base, _, clips = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, {"video_path": clips[0], "top_k": [1, 2],
+                     "max_new_tokens": 4})
+    assert e.value.code in (400, 500)
+    # the server still works afterwards
+    out = _post(base, {"video_path": clips[0], "max_new_tokens": 4})
+    assert isinstance(out["text"], str)
+
+
+def test_json_null_knob_is_default(server):
+    base, _, clips = server
+    ref = _post(base, {"video_path": clips[0], "max_new_tokens": 4})
+    out = _post(base, {"video_path": clips[0], "max_new_tokens": 4,
+                       "temperature": None, "top_p": None})
+    assert out["text"] == ref["text"]
+
+
+def test_bad_request_does_not_poison_batch(server):
+    """A good and a bad request in the same batching window: the good one
+    must still succeed (per-request isolation retry)."""
+    base, _, clips = server
+    results = {}
+
+    def call(name, payload):
+        try:
+            results[name] = ("ok", _post(base, payload))
+        except urllib.error.HTTPError as e:
+            results[name] = ("err", e.code)
+
+    threads = [
+        threading.Thread(target=call, args=(
+            "good", {"video_path": clips[0], "max_new_tokens": 4})),
+        threading.Thread(target=call, args=(
+            "bad", {"video_path": "/nonexistent.gif",
+                    "max_new_tokens": 4})),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results["good"][0] == "ok", results
+    assert results["bad"][0] == "err", results
+
+
+def test_beams_with_int8_rejected(server):
+    base, _, clips = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, {"video_path": clips[0], "num_beams": 2,
+                     "kv_cache_dtype": "int8"})
+    assert e.value.code == 400
