@@ -86,6 +86,23 @@ class GroveForCausalLM:
                 variables = {"params": params}
         return cls(cfg, model, variables)
 
+    def quantize(self) -> "GroveForCausalLM":
+        """Weight-only int8 serving variant: LLM Dense kernels stored int8
+        with per-channel scales (see ops/quant.py — halves LLM weight HBM
+        so the full model fits a single v5e chip). Returns a NEW instance;
+        the original stays usable."""
+        import dataclasses
+
+        from ..models.grove import GroveModel
+        from ..ops.quant import quantize_llama_tree
+
+        cfg = dataclasses.replace(
+            self.cfg, llama=dataclasses.replace(self.cfg.llama,
+                                                weight_quant=True))
+        params = quantize_llama_tree(self.variables["params"])
+        model = GroveModel(cfg, dtype=self.model.dtype)
+        return GroveForCausalLM(cfg, model, {"params": params})
+
     def save_pretrained(self, save_dir: str) -> None:
         """Write an HF-flax-layout model directory: `config.json` +
         `flax_model.msgpack` — round-trips through `from_pretrained`

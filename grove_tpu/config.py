@@ -172,6 +172,10 @@ class LlamaConfig:
     # LoRA on q/v projections (reference `train.py:336-359`, r=0 disables)
     lora_r: int = 0
     lora_alpha: float = 16.0
+    # weight-only int8 serving mode: Dense kernels stored int8 with
+    # per-output-channel scales (ops/quant.py); halves LLM weight HBM so
+    # the full 8.4B model fits ONE v5e chip
+    weight_quant: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -16,6 +16,28 @@ import jax
 import jax.numpy as jnp
 
 
+class Int8Dense(nn.Module):
+    """Weight-only int8 linear: y = (x @ W_int8) * per-channel scale.
+
+    Parameters come from `ops.quant.quantize_llama_tree` (a post-load
+    transform of a bf16/f32 checkpoint); init produces placeholder zeros.
+    W8A16: the kernel is cast to the compute dtype on the fly (one layer's
+    kernel at a time), activations stay bf16."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (x.shape[-1], self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), kernel_q.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())))
+        return y * scale.astype(self.dtype)
+
+
 class RMSNorm(nn.Module):
     """LLaMA RMSNorm; stats in fp32."""
     eps: float = 1e-6

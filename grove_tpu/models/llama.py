@@ -25,7 +25,16 @@ import jax.numpy as jnp
 
 from ..config import LlamaConfig
 from ..ops.attention import multi_head_attention, xla_attention
-from .layers import RMSNorm
+from .layers import Int8Dense, RMSNorm
+
+
+def _dense(cfg: LlamaConfig, features: int, dtype, name: str):
+    """Dense factory: bf16 kernel, or int8 + per-channel scale when
+    `cfg.weight_quant` (serving mode; params produced by
+    `ops.quant.quantize_llama_tree`)."""
+    if cfg.weight_quant:
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
 
 
 def rope_angles(positions: jax.Array, head_dim: int,
@@ -92,12 +101,9 @@ class LlamaAttention(nn.Module):
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
-        q = nn.Dense(cfg.num_heads * hd, use_bias=False, dtype=self.dtype,
-                     name="q_proj")(x)
-        k = nn.Dense(cfg.num_kv_heads * hd, use_bias=False, dtype=self.dtype,
-                     name="k_proj")(x)
-        v = nn.Dense(cfg.num_kv_heads * hd, use_bias=False, dtype=self.dtype,
-                     name="v_proj")(x)
+        q = _dense(cfg, cfg.num_heads * hd, self.dtype, "q_proj")(x)
+        k = _dense(cfg, cfg.num_kv_heads * hd, self.dtype, "k_proj")(x)
+        v = _dense(cfg, cfg.num_kv_heads * hd, self.dtype, "v_proj")(x)
         if cfg.lora_r > 0:
             # reference LoRA targets q_proj/v_proj (`train.py:52`)
             q = q + LoraDelta(cfg.num_heads * hd, cfg.lora_r, cfg.lora_alpha,
@@ -200,8 +206,7 @@ class LlamaAttention(nn.Module):
                                 mask=mask)
 
         out = out.reshape(b, s, cfg.num_heads * hd)
-        out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                       name="o_proj")(out)
+        out = _dense(cfg, cfg.hidden_size, self.dtype, "o_proj")(out)
         return out, new_cache
 
 
@@ -212,13 +217,10 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
-                        dtype=self.dtype, name="gate_proj")(x)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False,
-                      dtype=self.dtype, name="up_proj")(x)
+        gate = _dense(cfg, cfg.intermediate_size, self.dtype, "gate_proj")(x)
+        up = _dense(cfg, cfg.intermediate_size, self.dtype, "up_proj")(x)
         h = nn.silu(gate) * up
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        name="down_proj")(h)
+        return _dense(cfg, cfg.hidden_size, self.dtype, "down_proj")(h)
 
 
 class LlamaBlock(nn.Module):
@@ -300,8 +302,8 @@ class LlamaLMHead(nn.Module):
 
     @nn.compact
     def __call__(self, hidden):
-        return nn.Dense(self.cfg.padded_vocab_size, use_bias=False,
-                        dtype=self.dtype, name="lm_head")(hidden)
+        return _dense(self.cfg, self.cfg.padded_vocab_size, self.dtype,
+                      "lm_head")(hidden)
 
 
 def init_kv_caches(cfg: LlamaConfig, batch: int, max_len: int,

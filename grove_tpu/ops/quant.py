@@ -1,0 +1,86 @@
+"""Weight-only int8 quantization for serving.
+
+Why: GROVE's LLaMA-7B weights are 13.5 GB in bf16 — with the vision
+towers the full 8.4B model (16.8 GB) does NOT fit one v5e chip's
+15.75 GB HBM, so bf16 serving needs 2-way tensor parallelism. Per-output-
+channel absmax int8 halves the LLM weights to ~6.7 GB, and the whole
+model (+KV cache +activations) serves on a SINGLE chip — no ICI hop, and
+every chip in a fleet serves independently.
+
+Scheme: y = (x @ W_int8) * scale, scale per output channel (absmax/127),
+LLM Dense kernels only (q/k/v/o, gate/up/down, lm_head). Embeddings,
+norms, LoRA deltas, vision towers and the grounding decoder stay bf16 —
+they are a small fraction of the bytes and carry the quantization-
+sensitive paths (adapters are zero-init-gated; the decoder regresses
+boxes). Per-channel weight-only int8 on LLaMA-class models is the
+standard serving recipe with sub-0.1-CIDEr-class impact; activations
+remain bf16 (W8A16).
+
+The torch converter stays f32 — quantization is a post-load transform
+(`quantize_llama_tree`), so one checkpoint serves both precisions.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# llama Dense kernels + lm_head; excludes LoRA (kernel names lora_A/B
+# don't match these suffixes' parents) and embed_tokens (gather, small)
+_QUANT_PATTERNS = (
+    r"llama/layers_\d+/self_attn/(q|k|v|o)_proj$",
+    r"llama/layers_\d+/mlp/(gate|up|down)_proj$",
+    r"lm_head/lm_head$",
+)
+
+
+def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(in, out) f32/bf16 -> int8 kernel + per-output-channel f32 scale."""
+    k = np.asarray(kernel, np.float32)
+    scale = np.max(np.abs(k), axis=0) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.round(k / scale[None, :]), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def _walk(tree, prefix=""):
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            yield from _walk(v, path)
+        else:
+            yield path, v
+
+
+def quantize_llama_tree(params: Dict) -> Dict:
+    """Return a copy of a GroveModel param tree with the LLM Dense kernels
+    replaced by {"kernel_q": int8, "scale": f32} — the structure
+    `Int8Dense` expects. Non-matching params pass through unchanged."""
+    regexes = [re.compile(p) for p in _QUANT_PATTERNS]
+
+    def rec(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            path = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                if any(r.search(path) for r in regexes) and "kernel" in v:
+                    q, s = quantize_kernel(np.asarray(v["kernel"]))
+                    rest = {kk: vv for kk, vv in v.items()
+                            if kk != "kernel"}
+                    out[k] = {"kernel_q": jnp.asarray(q),
+                              "scale": jnp.asarray(s), **rest}
+                else:
+                    out[k] = rec(v, path)
+            else:
+                out[k] = v
+        return out
+
+    return rec(params)
+
+
+def tree_bytes(params) -> int:
+    return sum(np.asarray(x).nbytes for x in jax.tree.leaves(params))

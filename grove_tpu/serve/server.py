@@ -263,6 +263,9 @@ def main(argv: Optional[List[str]] = None):
                    help="tokenizer path (MockTokenizer if omitted)")
     p.add_argument("--max_batch", default=8, type=int)
     p.add_argument("--batch_timeout_ms", default=10.0, type=float)
+    p.add_argument("--quantize_llm", action="store_true",
+                   help="weight-only int8 LLM (halves LLM weight HBM; "
+                        "lets the full model serve on one chip)")
     args = p.parse_args(argv)
 
     if args.tokenizer:
@@ -275,6 +278,8 @@ def main(argv: Optional[List[str]] = None):
     lm = GroveForCausalLM.from_pretrained(args.version,
                                           model_size=args.model_size,
                                           tokenizer=tok)
+    if args.quantize_llm:
+        lm = lm.quantize()
     proc = GroveProcessor(tok, lm.cfg)
     server, _ = serve(proc, lm.model, lm.variables, host=args.host,
                       port=args.port, max_batch=args.max_batch,
