@@ -23,7 +23,7 @@ import jax.numpy as jnp
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--part", default="all",
-                   choices=["all", "train", "boxes", "decode"])
+                   choices=["all", "train", "boxes", "decode", "quant"])
     p.add_argument("--batch", default=1, type=int)
     p.add_argument("--llama_layers", default=None, type=int,
                    help="reduce LLM depth (full width) — the single-chip "
@@ -155,6 +155,43 @@ def main():
               lambda v, tk, cc: model.apply(v, tk, L, cc,
                                             method=GroveModel.decode_step),
               var_shapes, tok, cache_avals)
+
+    if args.part in ("all", "quant"):
+        # single-chip serving claim: with weight-only int8 on the LLM the
+        # FULL model's parameter bytes fit one v5e chip (15.75 GB HBM) —
+        # bf16 (16.8 GB) does not
+        print("compiling int8-weight (single-chip serving) stages...",
+              flush=True)
+        qcfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama, weight_quant=True))
+        qmodel = GroveModel(qcfg, dtype=jnp.bfloat16)
+        qvar_shapes = jax.eval_shape(
+            lambda r, bt: qmodel.init(r, bt, method=GroveModel.init_all),
+            jax.random.PRNGKey(0), batch_avals)
+        qvar_shapes = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, jnp.bfloat16)
+            if a.dtype == jnp.float32 and a.ndim > 1 else a, qvar_shapes)
+        qbytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                     for x in jax.tree.leaves(qvar_shapes["params"]))
+        print(f"  int8-LLM param bytes: {qbytes/1e9:.2f} GB "
+              f"(vs {2*n_params/1e9:.2f} GB bf16; v5e HBM 15.75 GB)",
+              flush=True)
+        assert qbytes < 15.75e9, qbytes
+        check("lm_forward[int8-w]",
+              lambda v, i, ve, s: qmodel.apply(
+                  v, i, ve, s, method=GroveModel.lm_forward)[1],
+              qvar_shapes, batch_avals["input_ids"],
+              jax.ShapeDtypeStruct((b, nv, cfg.llama.hidden_size),
+                                   jnp.bfloat16),
+              batch_avals["video_start"])
+        from grove_tpu.models.llama import init_kv_caches
+        cache_avals = jax.eval_shape(
+            lambda: init_kv_caches(cfg.llama, b, L + 64, jnp.bfloat16))
+        tok = jax.ShapeDtypeStruct((b, 1), jnp.int32)
+        check("decode_step[int8-w]",
+              lambda v, tk, cc: qmodel.apply(v, tk, L, cc,
+                                             method=GroveModel.decode_step),
+              qvar_shapes, tok, cache_avals)
 
     print("ALL COMPILE CHECKS PASSED", flush=True)
 
