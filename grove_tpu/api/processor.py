@@ -37,6 +37,17 @@ def _decode_kwargs(kv_cache_dtype: Optional[str], early_stop: bool,
         raise ValueError(f"kv_cache_dtype must be one of "
                          f"{sorted(k for k in table if k)}, "
                          f"got {kv_cache_dtype!r}")
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    if not 0 < top_p <= 1:
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+    if top_k < 0:
+        raise ValueError(f"top_k must be >= 0, got {top_k}")
+    if not 1 <= num_beams <= 16:
+        raise ValueError(f"num_beams must be in [1, 16], got {num_beams}")
+    if temperature == 0 and (top_k > 0 or top_p < 1):
+        raise ValueError("top_k/top_p only apply to sampling; "
+                         "set temperature > 0")
     if num_beams > 1 and temperature > 0:
         raise ValueError("num_beams > 1 is deterministic; "
                          "drop temperature or use num_beams=1")

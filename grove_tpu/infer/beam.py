@@ -40,7 +40,7 @@ def _gather_rows(tree, idx):
 @functools.lru_cache(maxsize=16)
 def _beam_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
              pad_id: int, num_beams: int, length_penalty: float,
-             cache_dtype):
+             cache_dtype, early_exit: bool):
     k = num_beams
 
     @jax.jit
@@ -122,8 +122,26 @@ def _beam_fn(model: GroveModel, ls: int, max_new_tokens: int, eos_id: int,
             return (cur, scores, tokens, hidden_buf, caches, done), None
 
         init = (cur, scores, tokens, hidden_buf, caches, done)
-        (cur, scores, tokens, hidden_buf, caches, done), _ = jax.lax.scan(
-            step, init, jnp.arange(max_new_tokens))
+        if early_exit:
+            # stop once every beam of every clip has recorded its EOS
+            # (post-stop steps would only shuffle tied pad continuations);
+            # safe because `done` flips AFTER the EOS token and its hidden
+            # state were recorded
+            def cond(c):
+                i, carry = c
+                return (i < max_new_tokens) & ~jnp.all(carry[-1])
+
+            def body(c):
+                i, carry = c
+                carry, _ = step(carry, i)
+                return (i + 1, carry)
+
+            _, (cur, scores, tokens, hidden_buf, caches, done) = \
+                jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+        else:
+            (cur, scores, tokens, hidden_buf, caches,
+             done), _ = jax.lax.scan(step, init,
+                                     jnp.arange(max_new_tokens))
 
         # sequence lengths: generated tokens before (and including) EOS
         lengths = jnp.sum(tokens != pad_id, axis=-1).astype(jnp.float32)
@@ -144,12 +162,16 @@ def beam_decode(model: GroveModel, variables, spliced_ids, video_embeds,
                 video_start, *, max_new_tokens: int, eos_id: int,
                 num_beams: int = 4, pad_id: int = 0,
                 length_penalty: float = 1.0, cache_dtype=jnp.bfloat16,
-                pad_lens=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                pad_lens=None,
+                early_exit: bool = True) -> Tuple[jax.Array, jax.Array,
+                                                  jax.Array]:
     """Beam-search generation with per-step hidden capture.
 
-    Returns (best_ids (B, max_new), hidden (B, Ls+max_new, D),
-    beam_scores (B, K) length-normalized). With num_beams=1 the ids match
-    `greedy_decode` exactly (tested)."""
+    `early_exit` stops the on-device loop once every beam of every clip
+    has emitted EOS (identical results; tested). Returns
+    (best_ids (B, max_new), hidden (B, Ls+max_new, D), beam_scores (B, K)
+    length-normalized). With num_beams=1 the ids match `greedy_decode`
+    exactly (tested)."""
     if cache_dtype == jnp.int8:
         raise ValueError("beam search needs a reorderable KV cache; "
                          "use bf16/fp32 (int8's transposed layout would "
@@ -158,6 +180,7 @@ def beam_decode(model: GroveModel, variables, spliced_ids, video_embeds,
     if pad_lens is None:
         pad_lens = jnp.zeros((b,), jnp.int32)
     fn = _beam_fn(model, ls, max_new_tokens, int(eos_id), int(pad_id),
-                  int(num_beams), float(length_penalty), cache_dtype)
+                  int(num_beams), float(length_penalty), cache_dtype,
+                  bool(early_exit))
     return fn(variables, spliced_ids, video_embeds, video_start,
               jnp.asarray(pad_lens, jnp.int32))

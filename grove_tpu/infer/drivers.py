@@ -362,15 +362,20 @@ def main(argv=None):
         print(f"loaded {report['converted']} tensors")
 
     from ..api.processor import _decode_kwargs
-    dk = _decode_kwargs(args.kv_cache_dtype, not args.no_early_stop,
-                        args.temperature, args.top_k, args.top_p,
-                        args.seed if args.temperature > 0 else None,
-                        args.num_beams)
+    try:
+        dk = _decode_kwargs(args.kv_cache_dtype, not args.no_early_stop,
+                            args.temperature, args.top_k, args.top_p,
+                            args.seed if args.temperature > 0 else None,
+                            args.num_beams)
+    except ValueError as e:
+        p.error(str(e))
     if args.task in ("vidstg", "groundingyoutube", "youcookinteractions") \
-            and (args.num_beams > 1 or args.temperature > 0):
-        # these tasks ground a GIVEN caption — there is no generation for
-        # the flags to steer
-        p.error(f"--num_beams/--temperature have no effect on "
+            and (args.num_beams > 1 or args.temperature > 0
+                 or args.kv_cache_dtype or args.no_early_stop):
+        # these tasks ground a GIVEN caption — there is no generation
+        # (and no KV-cache decode loop) for any of these flags to steer
+        p.error(f"generation flags (--num_beams/--temperature/"
+                f"--kv_cache_dtype/--no_early_stop) have no effect on "
                 f"caption-given task {args.task!r}")
 
     if args.task == "iground":

@@ -46,7 +46,9 @@ def _make_sampler(temperature: float, top_k: int, top_p: float):
             sorted_l = jnp.sort(l, axis=-1)[..., ::-1]
             probs = jax.nn.softmax(sorted_l, axis=-1)
             cum = jnp.cumsum(probs, axis=-1)
-            keep = (cum - probs) < top_p       # first token always kept
+            keep = (cum - probs) < top_p
+            # guarantee the top token survives even for degenerate top_p
+            keep = keep.at[..., 0].set(True)
             thresh = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
                              keepdims=True)
             l = jnp.where(l >= thresh, l, -jnp.inf)
@@ -222,7 +224,8 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
             jnp.asarray(video_start), max_new_tokens=max_new_tokens,
             eos_id=cfg.tokens.eos, pad_id=cfg.tokens.pad,
             num_beams=num_beams, length_penalty=length_penalty,
-            cache_dtype=cache_dtype, pad_lens=pad_lens)
+            cache_dtype=cache_dtype, pad_lens=pad_lens,
+            early_exit=early_exit)
     else:
         gen_ids, hidden = greedy_decode(
             model, variables, jnp.asarray(spliced_ids), video_embeds,

@@ -47,15 +47,6 @@ def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale.astype(np.float32)
 
 
-def _walk(tree, prefix=""):
-    for k, v in tree.items():
-        path = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
-            yield from _walk(v, path)
-        else:
-            yield path, v
-
-
 def quantize_llama_tree(params: Dict) -> Dict:
     """Return a copy of a GroveModel param tree with the LLM Dense kernels
     replaced by {"kernel_q": int8, "scale": f32} — the structure

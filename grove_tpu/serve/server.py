@@ -37,6 +37,42 @@ _KNOBS = ("instruction", "max_new_tokens", "temperature", "top_k", "top_p",
           "seed", "num_beams", "kv_cache_dtype", "early_stop",
           "length_penalty", "temp_objectness_threshold")
 
+MAX_NEW_TOKENS_CAP = 512
+
+
+def validate_payload(payload: Dict) -> None:
+    """Reject bad requests BEFORE they reach the single batcher thread —
+    an unvalidated max_new_tokens would compile an arbitrarily long decode
+    scan and stall every queued client. Decode-knob combinations are
+    validated by `api.processor._decode_kwargs`; this adds the
+    server-boundary checks (types + the compile-cost cap)."""
+    from ..api.processor import _decode_kwargs
+    if "video_path" not in payload:
+        raise ValueError("video_path required")
+    mnt = payload.get("max_new_tokens")
+    if mnt is not None:
+        if not isinstance(mnt, int) or not 1 <= mnt <= MAX_NEW_TOKENS_CAP:
+            raise ValueError(f"max_new_tokens must be an int in "
+                             f"[1, {MAX_NEW_TOKENS_CAP}], got {mnt!r}")
+    for key, typ in (("temperature", (int, float)), ("top_k", int),
+                     ("top_p", (int, float)), ("seed", int),
+                     ("num_beams", int), ("length_penalty", (int, float)),
+                     ("early_stop", bool), ("kv_cache_dtype", str),
+                     ("instruction", str)):
+        val = payload.get(key)
+        if val is not None and not isinstance(val, typ):
+            raise ValueError(f"{key} must be {typ}, got {type(val).__name__}")
+    # knob-combination validation (raises ValueError on bad combos);
+    # JSON null means "use the default"
+    def _get(key, default):
+        val = payload.get(key)
+        return default if val is None else val
+
+    _decode_kwargs(payload.get("kv_cache_dtype"), _get("early_stop", True),
+                   _get("temperature", 0.0), _get("top_k", 0),
+                   _get("top_p", 1.0), payload.get("seed"),
+                   _get("num_beams", 1), _get("length_penalty", 1.0))
+
 
 def _jsonable(out: Dict) -> Dict:
     """Convert a processor output dict (numpy arrays inside) to JSON."""
@@ -150,6 +186,11 @@ class BatchingEngine:
                         p.event.set()
 
     def _run_group(self, group: List[_Pending], *, isolate: bool = True):
+        # re-check abandonment here too: a request can time out while
+        # queued BEHIND other groups in the same drain cycle
+        group = [p for p in group if not p.abandoned]
+        if not group:
+            return
         try:
             # JSON null == absent: clients sending {"temperature": null}
             # mean "default", not the Python value None
@@ -219,8 +260,10 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(n) or b"{}")
-            if "video_path" not in payload:
-                self._send(400, {"error": "video_path required"})
+            try:
+                validate_payload(payload)
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
                 return
             out = self.server.engine.submit(payload)
             self._send(200, out)
