@@ -111,6 +111,25 @@ def main():
                                       method=GroveModel.decode_step)[1],
         params, tok, caches, iters=args.iters) * 1e3
 
+    # decode step with the int8 KV cache (fused Pallas dequant kernel)
+    caches8 = init_kv_caches(cfg.llama, b, L + 64, dtype=jnp.int8)
+    report["decode_step_int8_kv_ms"] = timed(
+        lambda p, tk, cc: model.apply({"params": p}, tk, L, cc,
+                                      method=GroveModel.decode_step)[1],
+        params, tok, caches8, iters=args.iters) * 1e3
+
+    # decode step with weight-only int8 LLM (single-chip serving mode)
+    import dataclasses
+    from grove_tpu.ops.quant import quantize_llama_tree
+    qcfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, weight_quant=True))
+    qmodel = GroveModel(qcfg, dtype=dtype)
+    qparams = quantize_llama_tree(params)
+    report["decode_step_int8_w_ms"] = timed(
+        lambda p, tk, cc: qmodel.apply({"params": p}, tk, L, cc,
+                                       method=GroveModel.decode_step)[1],
+        qparams, tok, caches, iters=args.iters) * 1e3
+
     # train step (forward+backward+update), reference freeze policy
     from grove_tpu.train.step import partition_params, trainable_mask
     opt_cfg = OptimizerConfig(total_steps=100)
