@@ -171,3 +171,30 @@ def test_beams_with_int8_rejected(server):
         _post(base, {"video_path": clips[0], "num_beams": 2,
                      "kv_cache_dtype": "int8"})
     assert e.value.code == 400
+
+
+def test_quantized_model_serves(tmp_path):
+    """The --quantize_llm path at the library level: a W8-quantized model
+    behind the batching engine answers /generate correctly."""
+    from grove_tpu.api.model import GroveForCausalLM
+
+    cfg = GroveConfig.tiny()
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.float32, batch=1)
+    qlm = GroveForCausalLM(cfg, model, variables).quantize()
+    proc = GroveProcessor(MockTokenizer(), cfg)
+    clip = str(tmp_path / "clip.gif")
+    _make_clip(clip, 6, 40, 32, 5.0, np.random.default_rng(0))
+    srv, engine = serve(proc, qlm.model, qlm.variables, port=0,
+                        model_name="grove-tiny-int8")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address[:2]
+    try:
+        out = _post(f"http://{host}:{port}",
+                    {"video_path": clip, "max_new_tokens": 4})
+        assert isinstance(out["text"], str)
+        assert len(out["bboxes"]) == len(out["frame_indices"])
+    finally:
+        srv.shutdown()
+        engine.close()
