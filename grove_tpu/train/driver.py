@@ -89,6 +89,10 @@ def parse_args(args=None):
     p.add_argument("--lora_alpha", default=16.0, type=float)
     # parallelism
     p.add_argument("--mesh_model", default=1, type=int)
+    p.add_argument("--pipeline_stages", default=0, type=int,
+                   help="GPipe-shard the LLM stack over this many devices "
+                        "(0 = off; mutually exclusive with --mesh_model>1)")
+    p.add_argument("--pipeline_microbatches", default=4, type=int)
     # logging / checkpointing
     p.add_argument("--log_base_dir", default="./runs", type=str)
     p.add_argument("--exp_name", default="grove_tpu", type=str)
@@ -308,8 +312,15 @@ def _run(args):
         optimizer = optax.MultiSteps(optimizer,
                                      args.grad_accumulation_steps)
 
-    p_shard = params_shardings(params, mesh)
-    params = shard_pytree(params, p_shard)
+    if args.pipeline_stages > 1:
+        # pipeline mode: leave params on default placement — the GPipe
+        # shard_map's own mesh takes ownership of the stacked LLM layers
+        # (replicating over the dp/tp mesh first would pin arguments to a
+        # conflicting device set)
+        pass
+    else:
+        p_shard = params_shardings(params, mesh)
+        params = shard_pytree(params, p_shard)
     mask = trainable_mask(params, opt_cfg)
     trainable, frozen = partition_params(params, mask)
     n_train = sum(int(np.prod(x.shape))
@@ -317,7 +328,23 @@ def _run(args):
     n_total = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"trainable params: {n_train/1e6:.1f}M / {n_total/1e6:.1f}M")
     opt_state = optimizer.init(trainable)
-    train_step = jax.jit(make_train_step(model, optimizer))
+    if args.pipeline_stages > 1:
+        assert args.mesh_model == 1, \
+            "--pipeline_stages and --mesh_model>1 are mutually exclusive"
+        assert cfg.llama.num_layers % args.pipeline_stages == 0, \
+            (cfg.llama.num_layers, args.pipeline_stages)
+        assert args.batch_size % args.pipeline_microbatches == 0, \
+            (args.batch_size, args.pipeline_microbatches)
+        from ..parallel.pipeline import make_pipe_mesh
+        from .step import make_pipelined_train_step
+        pipe = make_pipe_mesh(args.pipeline_stages)
+        print(f"pipeline-parallel LLM: {args.pipeline_stages} stages x "
+              f"{cfg.llama.num_layers // args.pipeline_stages} layers, "
+              f"{args.pipeline_microbatches} microbatches")
+        train_step = jax.jit(make_pipelined_train_step(
+            model, optimizer, pipe, args.pipeline_microbatches))
+    else:
+        train_step = jax.jit(make_train_step(model, optimizer))
 
     log_dir = os.path.join(args.log_base_dir, args.exp_name)
     os.makedirs(log_dir, exist_ok=True)

@@ -129,3 +129,63 @@ def make_eval_step(model: GroveModel):
         return model.apply({"params": params}, batch,
                            method=GroveModel.forward_train)
     return eval_step
+
+
+def make_pipelined_train_step(model: GroveModel, optimizer, pipe_mesh,
+                              n_microbatches: int):
+    """Train step with the LLM block stack pipeline-parallel over
+    `pipe_mesh`'s "pipe" axis (GPipe schedule, `parallel/pipeline.py`).
+
+    Same loss semantics as `make_train_step` — encoders, splice, grounding
+    head and losses run replicated; only the decoder stack (the FLOP/memory
+    king during a full-LLM fine-tune) is sharded across stages, each
+    holding num_layers/n_stages layers. Loss and grads match the
+    sequential step (tested). Requires equal-length packed prompts (the
+    training collator's static batches) and num_layers divisible by the
+    number of stages."""
+    import jax.numpy as jnp
+
+    from ..models.llama import LlamaLMHead
+    from ..ops import losses as loss_ops
+    from ..parallel.pipeline import pipelined_llama_forward
+
+    cfg = model.cfg
+    lm_head = LlamaLMHead(cfg.llama, dtype=model.dtype)
+
+    def loss_fn(trainable, frozen, batch):
+        params = combine_params(trainable, frozen)
+        video_embeds, _ = model.apply(
+            {"params": params}, batch["frames_clip"],
+            method=GroveModel.encode_video)
+        image_embeddings = model.apply(
+            {"params": params}, batch["frames_sam"],
+            method=GroveModel.encode_grounding)
+        x = model.apply({"params": params}, batch["input_ids"],
+                        video_embeds, batch["video_start"],
+                        method=GroveModel._splice)
+        positions = jnp.arange(batch["input_ids"].shape[1])
+        hidden = pipelined_llama_forward(
+            cfg.llama, params["llama"], x, positions, pipe_mesh,
+            n_microbatches, dtype=model.dtype)
+        logits = lm_head.apply({"params": params["lm_head"]}, hidden)
+        boxes, obj = model.apply({"params": params}, hidden,
+                                 batch["det_positions"], image_embeddings,
+                                 method=GroveModel.ground)
+        out = loss_ops.grove_total_loss(
+            logits, batch["labels"], boxes, obj, batch["gt_boxes"],
+            batch["gt_objectness"], batch["phrase_mask"],
+            ce_weight=cfg.ce_loss_weight,
+            giou_weight=cfg.giou_loss_weight,
+            objectness_weight=cfg.temp_objectness_loss_weight,
+            use_temp_objectness=cfg.use_temp_objectness,
+            ignore_index=cfg.tokens.ignore_index)
+        return out["loss"], out
+
+    def train_step(trainable, frozen, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, metrics
+
+    return train_step

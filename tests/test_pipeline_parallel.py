@@ -73,3 +73,49 @@ def test_pipelined_grads_match_sequential(setup):
     for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pipelined_full_train_step_matches_sequential():
+    """The FULL training step (encoders + splice + pipelined LLM + ground
+    + losses + optimizer update) reproduces the sequential step."""
+    import importlib.util
+    import os
+
+    from grove_tpu.config import GroveConfig
+    from grove_tpu.models.grove import init_grove_params
+    from grove_tpu.parallel.pipeline import make_pipe_mesh
+    from grove_tpu.train.step import (OptimizerConfig, make_optimizer,
+                                      make_pipelined_train_step,
+                                      make_train_step, partition_params,
+                                      trainable_mask)
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", os.path.join(os.path.dirname(__file__), "..",
+                                        "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cfg = GroveConfig.tiny()
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.float32, batch=4)
+    params = variables["params"]
+    rng = np.random.default_rng(0)
+    batch = mod._dummy_batch(cfg, 4, rng)
+
+    opt_cfg = OptimizerConfig(total_steps=10, warmup_steps=2, full_llm=True)
+    opt = make_optimizer(params, opt_cfg)
+    mask = trainable_mask(params, opt_cfg)
+    trainable, frozen = partition_params(params, mask)
+    opt_state = opt.init(trainable)
+
+    t_ref, _, m_ref = jax.jit(make_train_step(model, opt))(
+        trainable, frozen, opt_state, batch)
+    pipe = make_pipe_mesh(2)
+    t_pp, _, m_pp = jax.jit(make_pipelined_train_step(model, opt, pipe, 2))(
+        trainable, frozen, opt_state, batch)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_pp["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_ref), jax.tree.leaves(t_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
