@@ -96,3 +96,18 @@ def test_quantized_decode_runs(setup, rng):
     assert g.shape == (2, 6)
     assert (g >= 0).all() and (g < cfg.llama.padded_vocab_size).all()
     assert np.isfinite(np.asarray(h)).all()
+
+
+def test_quantized_save_pretrained_roundtrip(setup, tmp_path):
+    """HF-layout save/load preserves the quantized structure exactly:
+    config.json carries llama.weight_quant and the int8 kernels + scales
+    round-trip bit-for-bit."""
+    _, _, qlm = setup
+    d = str(tmp_path / "qmodel")
+    qlm.save_pretrained(d)
+    back = GroveForCausalLM.from_pretrained(d)
+    assert back.cfg.llama.weight_quant is True
+    for a, b in zip(jax.tree.leaves(qlm.variables["params"]),
+                    jax.tree.leaves(back.variables["params"])):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
