@@ -68,7 +68,8 @@ def make_pipe_mesh(n_stages: int, devices=None) -> Mesh:
 def pipelined_llama_forward(cfg: LlamaConfig, llama_params: Dict,
                             inputs_embeds: jax.Array, positions: jax.Array,
                             mesh: Mesh, n_microbatches: int,
-                            dtype=jnp.bfloat16, axis_name: str = "pipe"):
+                            dtype=jnp.bfloat16, axis_name: str = "pipe",
+                            remat: bool = False):
     """Post-final-norm hidden states, computed with the stack pipelined
     over `mesh`'s `axis_name` axis.
 
@@ -98,6 +99,9 @@ def pipelined_llama_forward(cfg: LlamaConfig, llama_params: Dict,
             def layer_body(x, p):
                 y, _ = block.apply({"params": p}, x, pos)
                 return y, None
+            if remat:
+                layer_body = jax.checkpoint(layer_body,
+                                            prevent_cse=False)
             x, _ = jax.lax.scan(layer_body, x, stacked_local)
             return x
 

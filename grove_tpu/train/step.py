@@ -166,7 +166,7 @@ def make_pipelined_train_step(model: GroveModel, optimizer, pipe_mesh,
         positions = jnp.arange(batch["input_ids"].shape[1])
         hidden = pipelined_llama_forward(
             cfg.llama, params["llama"], x, positions, pipe_mesh,
-            n_microbatches, dtype=model.dtype)
+            n_microbatches, dtype=model.dtype, remat=model.remat)
         logits = lm_head.apply({"params": params["lm_head"]}, hidden)
         boxes, obj = model.apply({"params": params}, hidden,
                                  batch["det_positions"], image_embeddings,

@@ -119,3 +119,21 @@ def test_pipelined_full_train_step_matches_sequential():
     for a, b in zip(jax.tree.leaves(t_ref), jax.tree.leaves(t_pp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_remat_grads_match(setup):
+    """remat=True recomputes activations in the backward pass; grads must
+    agree with the stored-activation path up to recompute-order noise."""
+    cfg, model, params, x, positions = setup
+    mesh = make_pipe_mesh(2)
+
+    def loss(p, h, remat):
+        return jnp.sum(pipelined_llama_forward(
+            cfg, p, h, positions, mesh, 2, dtype=jnp.float32,
+            remat=remat) ** 2)
+
+    g0 = jax.jit(jax.grad(lambda p, h: loss(p, h, False)))(params, x)
+    g1 = jax.jit(jax.grad(lambda p, h: loss(p, h, True)))(params, x)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
