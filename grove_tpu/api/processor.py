@@ -59,7 +59,9 @@ def _decode_kwargs(kv_cache_dtype: Optional[str], early_stop: bool,
            "temperature": float(temperature), "top_k": int(top_k),
            "top_p": float(top_p), "num_beams": int(num_beams),
            "length_penalty": float(length_penalty)}
-    if seed is not None:
+    # a seed without sampling is inert — drop it so identical greedy
+    # requests stay batchable (the serve layer groups by knob values)
+    if seed is not None and temperature > 0:
         out["rng_key"] = jax.random.PRNGKey(seed)
     return out
 

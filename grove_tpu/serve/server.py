@@ -49,6 +49,9 @@ def validate_payload(payload: Dict) -> None:
     from ..api.processor import _decode_kwargs
     if "video_path" not in payload:
         raise ValueError("video_path required")
+    if not isinstance(payload["video_path"], str):
+        raise ValueError(f"video_path must be a string, got "
+                         f"{type(payload['video_path']).__name__}")
     mnt = payload.get("max_new_tokens")
     if mnt is not None:
         if not isinstance(mnt, int) or not 1 <= mnt <= MAX_NEW_TOKENS_CAP:
@@ -58,7 +61,8 @@ def validate_payload(payload: Dict) -> None:
                      ("top_p", (int, float)), ("seed", int),
                      ("num_beams", int), ("length_penalty", (int, float)),
                      ("early_stop", bool), ("kv_cache_dtype", str),
-                     ("instruction", str)):
+                     ("instruction", str),
+                     ("temp_objectness_threshold", (int, float))):
         val = payload.get(key)
         if val is not None and not isinstance(val, typ):
             raise ValueError(f"{key} must be {typ}, got {type(val).__name__}")
@@ -160,9 +164,14 @@ class BatchingEngine:
     @staticmethod
     def _knob_key(payload: Dict) -> str:
         """Hashable grouping key; json round-trip handles any client value
-        (lists/dicts included) without crashing the batcher."""
+        (lists/dicts included) without crashing the batcher. A seed on a
+        greedy request is inert (dropped by _decode_kwargs), so ignore it
+        here too — otherwise identical greedy requests would fragment
+        into separate launches."""
         vals = {k: payload.get(k) for k in _KNOBS
                 if k != "instruction" and payload.get(k) is not None}
+        if not vals.get("temperature"):
+            vals.pop("seed", None)
         return json.dumps(vals, sort_keys=True, default=str)
 
     def _loop(self):

@@ -159,6 +159,7 @@ def make_pipelined_train_step(model: GroveModel, optimizer, pipe_mesh,
             method=GroveModel.encode_video)
         image_embeddings = model.apply(
             {"params": params}, batch["frames_sam"],
+            batch.get("sam_valid_hw"),
             method=GroveModel.encode_grounding)
         x = model.apply({"params": params}, batch["input_ids"],
                         video_embeds, batch["video_start"],

@@ -168,3 +168,27 @@ def test_beam_scores_are_exact_logprob_sums(setup, rng):
     want = lp_sum / max(n, 1)
     got = float(np.asarray(scores)[0, 0])
     assert abs(got - want) < 2e-3, (got, want)
+
+
+def test_beam_early_exit_matches_scan(setup, rng):
+    """The while_loop early-EOS beam path must reproduce the fixed-length
+    scan exactly (tokens and scores), including when beams finish early."""
+    cfg, model, variables = setup
+    ids, vs, feats = _prompt(cfg, rng)
+    # natural EOS (may never fire) AND a forced early EOS
+    g, _ = greedy_decode(model, variables, jnp.asarray(ids),
+                         jnp.asarray(feats), jnp.asarray(vs),
+                         max_new_tokens=6, eos_id=cfg.tokens.eos,
+                         cache_dtype=jnp.float32)
+    for eos in (cfg.tokens.eos, int(np.asarray(g)[0, 1])):
+        kw = dict(num_beams=3, max_new_tokens=6, eos_id=eos,
+                  cache_dtype=jnp.float32)
+        b_scan, _, s_scan = beam_decode(model, variables, jnp.asarray(ids),
+                                        jnp.asarray(feats), jnp.asarray(vs),
+                                        early_exit=False, **kw)
+        b_we, _, s_we = beam_decode(model, variables, jnp.asarray(ids),
+                                    jnp.asarray(feats), jnp.asarray(vs),
+                                    early_exit=True, **kw)
+        assert np.asarray(b_scan).tolist() == np.asarray(b_we).tolist(), eos
+        np.testing.assert_allclose(np.asarray(s_scan), np.asarray(s_we),
+                                   rtol=1e-6)

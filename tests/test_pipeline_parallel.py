@@ -137,3 +137,54 @@ def test_pipelined_remat_grads_match(setup):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pipelined_step_honors_sam_valid_hw():
+    """Real batches carry uint8 SAM frames + sam_valid_hw (pad-region
+    re-zeroing); the pipelined step must produce the sequential step's
+    loss on such a batch, not just on float fixtures."""
+    import importlib.util
+    import os
+
+    from grove_tpu.config import GroveConfig
+    from grove_tpu.models.grove import init_grove_params
+    from grove_tpu.parallel.pipeline import make_pipe_mesh
+    from grove_tpu.train.step import (OptimizerConfig, make_optimizer,
+                                      make_pipelined_train_step,
+                                      make_train_step, partition_params,
+                                      trainable_mask)
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", os.path.join(os.path.dirname(__file__), "..",
+                                        "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cfg = GroveConfig.tiny()
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.float32, batch=2)
+    params = variables["params"]
+    rng2 = np.random.default_rng(3)
+    batch = mod._dummy_batch(cfg, 2, rng2)
+    # uint8 SAM frames with a non-trivial valid region per sample
+    batch["frames_sam"] = jnp.asarray(
+        rng2.integers(0, 256, size=(2, cfg.num_frames,
+                                    cfg.sam_enc.img_size,
+                                    cfg.sam_enc.img_size, 3)), jnp.uint8)
+    batch["sam_valid_hw"] = jnp.asarray(
+        [[cfg.sam_enc.img_size, cfg.sam_enc.img_size // 2],
+         [cfg.sam_enc.img_size // 2, cfg.sam_enc.img_size]], jnp.int32)
+
+    opt_cfg = OptimizerConfig(total_steps=10, warmup_steps=2)
+    opt = make_optimizer(params, opt_cfg)
+    mask = trainable_mask(params, opt_cfg)
+    trainable, frozen = partition_params(params, mask)
+    opt_state = opt.init(trainable)
+
+    _, _, m_ref = jax.jit(make_train_step(model, opt))(
+        trainable, frozen, opt_state, batch)
+    pipe = make_pipe_mesh(2)
+    _, _, m_pp = jax.jit(make_pipelined_train_step(model, opt, pipe, 2))(
+        trainable, frozen, opt_state, batch)
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_pp["loss"]),
+                               rtol=1e-6)
