@@ -151,10 +151,18 @@ def cider_d(gts: Dict[str, List[str]], res: Dict[str, str],
 
 def caption_metrics(gts: Dict[str, List[str]], res: Dict[str, str]) -> Dict:
     b = bleu(gts, res)
+    meteor = meteor_corpus(gts, res)
     return {
         "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
         "ROUGE_L": rouge_l(gts, res),
         "CIDEr": cider_d(gts, res),
-        "METEOR": meteor_corpus(gts, res),  # exact+stem stages (see meteor.py)
+        # exact+stem stages only (no WordNet/paraphrase tables in this
+        # env), so values systematically underestimate METEOR-1.5 jar
+        # scores. Keyed by variant so they are never mistaken for (or
+        # compared against) published METEOR numbers; the plain key is
+        # kept as an alias with an explicit marker in "METEOR_variant".
+        "METEOR": meteor,
+        "METEOR_exact_stem": meteor,
+        "METEOR_variant": "exact+stem (no WordNet/paraphrase; see meteor.py)",
         "SPICE": None,    # needs Java CoreNLP; not faked
     }

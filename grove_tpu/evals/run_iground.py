@@ -109,6 +109,8 @@ def main(argv=None):
     for k, v in metrics.items():
         if v is None:
             print(f"{k}: n/a (external assets unavailable)")
+        elif isinstance(v, str):
+            print(f"{k}: {v}")
         else:
             print(f"{k}: {v:.4f}")
     return metrics

@@ -39,6 +39,20 @@ _KNOBS = ("instruction", "max_new_tokens", "temperature", "top_k", "top_p",
 
 MAX_NEW_TOKENS_CAP = 512
 
+# `GroveProcessor.generate_batch` defaults — used to normalize knob keys so
+# an explicitly-passed default (e.g. {"top_p": 1.0}) batches with the
+# absent-key form (both resolve to the same compiled program).
+_KNOB_DEFAULTS = {
+    "max_new_tokens": 64, "temperature": 0.0, "top_k": 0, "top_p": 1.0,
+    "seed": None, "num_beams": 1, "length_penalty": 1.0,
+    "kv_cache_dtype": None, "early_stop": True,
+    "temp_objectness_threshold": None,
+}
+
+# request-body cap: payloads are a path + a handful of scalar knobs; 1 MB
+# is orders of magnitude above any legitimate request
+MAX_BODY_BYTES = 1 << 20
+
 
 def validate_payload(payload: Dict) -> None:
     """Reject bad requests BEFORE they reach the single batcher thread —
@@ -54,7 +68,8 @@ def validate_payload(payload: Dict) -> None:
                          f"{type(payload['video_path']).__name__}")
     mnt = payload.get("max_new_tokens")
     if mnt is not None:
-        if not isinstance(mnt, int) or not 1 <= mnt <= MAX_NEW_TOKENS_CAP:
+        if (isinstance(mnt, bool) or not isinstance(mnt, int)
+                or not 1 <= mnt <= MAX_NEW_TOKENS_CAP):
             raise ValueError(f"max_new_tokens must be an int in "
                              f"[1, {MAX_NEW_TOKENS_CAP}], got {mnt!r}")
     for key, typ in (("temperature", (int, float)), ("top_k", int),
@@ -64,7 +79,12 @@ def validate_payload(payload: Dict) -> None:
                      ("instruction", str),
                      ("temp_objectness_threshold", (int, float))):
         val = payload.get(key)
-        if val is not None and not isinstance(val, typ):
+        if val is None:
+            continue
+        # bool is a subclass of int: {"top_k": true} must not pass as 1
+        if isinstance(val, bool) and typ is not bool:
+            raise ValueError(f"{key} must be {typ}, got bool")
+        if not isinstance(val, typ):
             raise ValueError(f"{key} must be {typ}, got {type(val).__name__}")
     # knob-combination validation (raises ValueError on bad combos);
     # JSON null means "use the default"
@@ -92,6 +112,10 @@ def _jsonable(out: Dict) -> Dict:
     return res
 
 
+class OverloadedError(RuntimeError):
+    """Raised when the request queue is full (HTTP 503)."""
+
+
 class _Pending:
     __slots__ = ("payload", "event", "result", "error", "abandoned")
 
@@ -111,13 +135,15 @@ class BatchingEngine:
     splits it into knob-groups, largest first."""
 
     def __init__(self, processor, model, variables, *, max_batch: int = 8,
-                 batch_timeout_ms: float = 10.0):
+                 batch_timeout_ms: float = 10.0, max_queue: int = 256):
         self.processor = processor
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
         self.batch_timeout = batch_timeout_ms / 1000.0
-        self.queue: "queue.Queue[_Pending]" = queue.Queue()
+        # bounded: a request flood must shed load (503) at the door, not
+        # accumulate on the host until the submit timeout drains it
+        self.queue: "queue.Queue[_Pending]" = queue.Queue(maxsize=max_queue)
         self.batches_run = 0
         self.requests_served = 0
         self._stop = threading.Event()
@@ -126,7 +152,10 @@ class BatchingEngine:
 
     def submit(self, payload: Dict, timeout: float = 300.0) -> Dict:
         p = _Pending(payload)
-        self.queue.put(p)
+        try:
+            self.queue.put_nowait(p)
+        except queue.Full:
+            raise OverloadedError("server overloaded, retry later") from None
         if not p.event.wait(timeout):
             # mark so the batcher drops it instead of burning a device
             # launch on a result nobody will read
@@ -164,12 +193,19 @@ class BatchingEngine:
     @staticmethod
     def _knob_key(payload: Dict) -> str:
         """Hashable grouping key; json round-trip handles any client value
-        (lists/dicts included) without crashing the batcher. A seed on a
-        greedy request is inert (dropped by _decode_kwargs), so ignore it
-        here too — otherwise identical greedy requests would fragment
-        into separate launches."""
-        vals = {k: payload.get(k) for k in _KNOBS
-                if k != "instruction" and payload.get(k) is not None}
+        (lists/dicts included) without crashing the batcher.
+
+        Knobs are normalized through `_KNOB_DEFAULTS` so explicit defaults
+        ({"top_p": 1.0}) group with absent keys ({}) — semantically
+        identical requests must not fragment into separate launches. A seed
+        on a greedy request is inert (dropped by _decode_kwargs), so it is
+        dropped here too."""
+        vals = {}
+        for k, default in _KNOB_DEFAULTS.items():
+            v = payload.get(k)
+            v = default if v is None else v
+            if v != default or type(v) is not type(default):
+                vals[k] = v
         if not vals.get("temperature"):
             vals.pop("seed", None)
         return json.dumps(vals, sort_keys=True, default=str)
@@ -268,6 +304,10 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length", 0))
+            if n > MAX_BODY_BYTES:
+                self._send(413, {"error": f"request body too large "
+                                          f"({n} > {MAX_BODY_BYTES} bytes)"})
+                return
             payload = json.loads(self.rfile.read(n) or b"{}")
             try:
                 validate_payload(payload)
@@ -278,6 +318,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, out)
         except TimeoutError as e:
             self._send(504, {"error": str(e)})
+        except OverloadedError as e:
+            self._send(503, {"error": str(e)})
         except FileNotFoundError as e:
             self._send(400, {"error": str(e)})
         except ValueError as e:
