@@ -250,6 +250,12 @@ class GroveConfig:
     out_dim: int = 256             # text_hidden_fcs output = SAM prompt dim
     use_temp_objectness: bool = True
     temp_objectness_threshold: float = 0.5
+    # Reference quirk (`clip_encoder.py:55` @torch.no_grad): CLIP tower
+    # output is detached, so its adapters — though marked trainable by the
+    # freeze policy (`train.py:234-334`) — receive zero gradient. Default
+    # preserves that; True lifts the stop_gradient so CLIP-adapter
+    # training is real.
+    train_clip_adapters: bool = False
     ce_loss_weight: float = 1.0
     giou_loss_weight: float = 1.0
     temp_objectness_loss_weight: float = 1.0

@@ -57,14 +57,20 @@ def bleu(gts: Dict[str, List[str]], res: Dict[str, str],
             totals[n - 1] += max(len(h) - n + 1, 0)
             clipped[n - 1] += sum(min(c, max_ref[g])
                                   for g, c in hng.items())
-    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len /
-                                                max(hyp_len, 1))
+    # pycocoevalcap BleuScorer arithmetic, verbatim: cumulative product of
+    # smoothed precisions ((correct+tiny)/(guess+small)), k-th root, brevity
+    # penalty exp(1-1/ratio) applied only when ratio < 1. The tiny/small
+    # constants make zero-count orders reproducible to machine precision.
+    tiny, small = 1e-15, 1e-9
     scores = []
-    log_sum = 0.0
+    prod = 1.0
     for n in range(1, max_n + 1):
-        p = clipped[n - 1] / totals[n - 1] if totals[n - 1] > 0 else 0.0
-        log_sum += math.log(max(p, 1e-12))
-        scores.append(bp * math.exp(log_sum / n))
+        prod *= (clipped[n - 1] + tiny) / (totals[n - 1] + small)
+        scores.append(prod ** (1.0 / n))
+    ratio = (hyp_len + tiny) / (ref_len + small)
+    if ratio < 1:
+        bp = math.exp(1 - 1 / ratio)
+        scores = [s * bp for s in scores]
     return scores
 
 
@@ -81,21 +87,27 @@ def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
 
 def rouge_l(gts: Dict[str, List[str]], res: Dict[str, str],
             beta: float = 1.2) -> float:
+    """pycocoevalcap Rouge convention: the F-score combines the max
+    PRECISION over refs with the max RECALL over refs taken SEPARATELY
+    (possibly from different refs) — not the max per-ref F."""
     scores = []
     for key, hyp in res.items():
         h = _tokens(hyp)
-        best = 0.0
+        prec_max = 0.0
+        rec_max = 0.0
         for ref in gts[key]:
             r = _tokens(ref)
             lcs = _lcs_len(h, r)
-            if lcs == 0:
-                continue
-            prec = lcs / len(h) if h else 0.0
-            rec = lcs / len(r) if r else 0.0
-            f = ((1 + beta ** 2) * prec * rec
-                 / (rec + beta ** 2 * prec)) if prec + rec > 0 else 0.0
-            best = max(best, f)
-        scores.append(best)
+            if h:
+                prec_max = max(prec_max, lcs / len(h))
+            if r:
+                rec_max = max(rec_max, lcs / len(r))
+        if prec_max > 0 and rec_max > 0:
+            f = ((1 + beta ** 2) * prec_max * rec_max
+                 / (rec_max + beta ** 2 * prec_max))
+        else:
+            f = 0.0
+        scores.append(f)
     return sum(scores) / len(scores) if scores else 0.0
 
 

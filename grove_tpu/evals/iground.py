@@ -36,6 +36,23 @@ def compute_iou(a, b) -> float:
     return inter / denom if denom != 0 else 0.0
 
 
+def coco_iou(a, b) -> float:
+    """pycocotools bbox IoU: xyxy with area (x2-x1)*(y2-y1), NO +1.
+
+    The reference converts boxes to COCO xywh with w = x2-x1 before
+    handing them to COCOeval, so the AP metric's IoU differs from
+    `eval_iground.py:39-56`'s +1-convention `compute_iou` (which the
+    reference only uses for mIoU/recall). Matching pycocotools exactly
+    here keeps AP numbers comparable."""
+    xA = max(a[0], b[0]); yA = max(a[1], b[1])
+    xB = min(a[2], b[2]); yB = min(a[3], b[3])
+    inter = max(0.0, xB - xA) * max(0.0, yB - yA)
+    areaA = (a[2] - a[0]) * (a[3] - a[1])
+    areaB = (b[2] - b[0]) * (b[3] - b[1])
+    denom = float(areaA + areaB - inter)
+    return inter / denom if denom > 0 else 0.0
+
+
 def compute_iou_matrix(preds, gts) -> np.ndarray:
     m = np.zeros((len(preds), len(gts)))
     for i, p in enumerate(preds):
@@ -139,6 +156,8 @@ def box_average_precision(preds: Dict, gts: Dict,
     Detections are ranked globally by score; per IoU threshold, greedy match
     against unmatched GT (highest IoU first); AP = 101-point interpolated
     area under P(R). Returns AP (mean over thresholds), AP50, AP75.
+    pycocotools semantics throughout: no-+1 IoU (`coco_iou`), maxDets=100
+    detections per frame, recThrs = linspace(0, 1, 101).
     """
     if mode == "video":
         per_video = [
@@ -151,7 +170,9 @@ def box_average_precision(preds: Dict, gts: Dict,
                 for k in per_video[0]}
 
     if iou_thresholds is None:
-        iou_thresholds = np.arange(0.5, 1.0, 0.05)
+        # linspace, not arange: pycocotools' exact grid — the two differ in
+        # float representation at e.g. 0.8, which flips boundary matches
+        iou_thresholds = np.linspace(0.5, 0.95, 10)
 
     # flatten detections and GT per frame
     frames = []
@@ -170,13 +191,13 @@ def box_average_precision(preds: Dict, gts: Dict,
             scores = np.asarray(pf.get("scores",
                                        np.ones(len(pb))), np.float64)
             gb = np.asarray(gf["bboxes"], np.float64).reshape(-1, 4)
-            order = np.argsort(-scores)
+            order = np.argsort(-scores, kind="stable")[:100]  # maxDets=100
             matched = np.zeros(len(gb), bool)
             for i in order:
                 if len(gb) == 0:
                     records.append((scores[i], False))
                     continue
-                ious = np.array([compute_iou(pb[i], g) for g in gb])
+                ious = np.array([coco_iou(pb[i], g) for g in gb])
                 ious[matched] = -1
                 j = int(np.argmax(ious))
                 if ious[j] >= th:

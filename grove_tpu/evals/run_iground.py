@@ -79,8 +79,11 @@ def evaluate(gts, caps_gt, preds_pkl, text_sim=None) -> Dict:
     sim = text_sim or box_eval.token_tf_cosine
     metrics = {}
     metrics.update(box_eval.box_average_precision(preds, gts))
+    # reference quirk: per-video mode reads coco_eval.stats[1], which is
+    # AP@IoU=0.50 (the comment in `eval_iground.py:261` mislabels it as
+    # .50:.95) — preserved so numbers stay comparable
     metrics["AP_video"] = box_eval.box_average_precision(
-        preds, gts, mode="video")["AP"]
+        preds, gts, mode="video")["AP50"]
     metrics["mIoU_flatten"] = box_eval.mean_iou(preds, gts, "flattening")
     metrics["mIoU_video"] = box_eval.mean_iou(preds, gts, "video")
     metrics["recall_flatten"] = box_eval.grounding_recall(
@@ -101,11 +104,18 @@ def main(argv=None):
     p.add_argument("--ann_dir", required=True)
     p.add_argument("--video_dir", default="")
     p.add_argument("--pred", required=True)
+    p.add_argument("--text_sim", default="tf",
+                   help="grounding-recall similarity backend: tf | "
+                        "char_ngram | embed:<path.npz> (the reference uses "
+                        "BERT cosine; see evals/DEVIATIONS.md)")
     args = p.parse_args(argv)
     gts, caps = load_gt(args.ann_dir, args.video_dir)
     with open(args.pred, "rb") as f:
         preds_pkl = pickle.load(f)
-    metrics = evaluate(gts, caps, preds_pkl)
+    from .textsim import resolve_backend
+    metrics = evaluate(gts, caps, preds_pkl,
+                       text_sim=resolve_backend(args.text_sim))
+    metrics["text_sim_backend"] = args.text_sim
     for k, v in metrics.items():
         if v is None:
             print(f"{k}: n/a (external assets unavailable)")

@@ -117,12 +117,15 @@ class GroveModel(nn.Module):
     def encode_video(self, frames_clip):
         """CLIP tower + mm_projector -> (B, N_video, hidden).
 
-        The tower itself is non-differentiable like the reference
+        By default the tower is non-differentiable like the reference
         (@torch.no_grad on `clip_encoder.py:55`); gradients flow only into
-        the projector. Adapter training would lift the stop_gradient.
+        the projector. `cfg.train_clip_adapters=True` lifts the
+        stop_gradient so the tower's video adapters (marked trainable by
+        the freeze policy) actually receive gradient.
         """
         tokens, mlvl = self.clip_tower(self._norm_clip(frames_clip))
-        tokens = jax.lax.stop_gradient(tokens)
+        if not self.cfg.train_clip_adapters:
+            tokens = jax.lax.stop_gradient(tokens)
         x = self.mm_projector_0(tokens)
         x = nn.gelu(x, approximate=False)
         x = self.mm_projector_2(x)

@@ -104,6 +104,10 @@ def parse_args(args=None):
                    help="capture a jax.profiler trace of steps 2-4 here")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize LLM blocks (activation checkpointing)")
+    p.add_argument("--train_clip_adapters", action="store_true",
+                   help="lift the CLIP-tower stop_gradient so its video "
+                        "adapters actually train (the reference's "
+                        "@torch.no_grad quirk zeroes them; see config)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host "
                         "pods; the SLURM/torchrun rendezvous equivalent)")
@@ -122,6 +126,8 @@ def build_config(args) -> GroveConfig:
     overrides["ce_loss_weight"] = args.ce_loss_weight
     overrides["giou_loss_weight"] = args.giou_loss_weight
     overrides["temp_objectness_loss_weight"] = args.temp_objectness_loss_weight
+    if getattr(args, "train_clip_adapters", False):
+        overrides["train_clip_adapters"] = True
     if getattr(args, "lora_r", 0):
         overrides["llama"] = dataclasses.replace(
             cfg.llama, lora_r=args.lora_r, lora_alpha=args.lora_alpha)

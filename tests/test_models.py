@@ -186,3 +186,40 @@ def test_segment_promptable_masks(tiny_setup, rng):
                                method=GroveModel.segment)
     assert masks3.shape == (2, cfg.sam_dec.num_mask_tokens - 1, 4 * g, 4 * g)
     assert np.isfinite(np.asarray(masks)).all()
+
+
+@pytest.mark.slow
+def test_clip_adapter_grads_gated_by_flag(rng):
+    """cfg.train_clip_adapters lifts the reference's @torch.no_grad quirk
+    (`clip_encoder.py:55`): adapter grads must be nonzero with the flag
+    and exactly zero without (the freeze-policy mask otherwise lies)."""
+    import dataclasses
+    import re
+
+    base = GroveConfig.tiny()
+    batch = None
+    grads_by_flag = {}
+    for flag in (False, True):
+        cfg = dataclasses.replace(base, train_clip_adapters=flag)
+        model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                             dtype=jnp.float32, batch=2)
+        if batch is None:
+            batch = _tiny_batch(cfg, rng)
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch,
+                              method=GroveModel.forward_train)
+            return out["loss"]
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        adapter = [(jax.tree_util.keystr(path), g) for path, g in flat
+                   if re.search(r"vision_tower.*adapters_\d+",
+                                jax.tree_util.keystr(path))]
+        assert adapter, "no CLIP adapter params found"
+        grads_by_flag[flag] = adapter
+
+    for name, g in grads_by_flag[False]:
+        assert float(jnp.abs(g).max()) == 0.0, name
+    total = sum(float(jnp.abs(g).sum()) for _, g in grads_by_flag[True])
+    assert total > 0.0, "flag did not unlock CLIP adapter gradients"
