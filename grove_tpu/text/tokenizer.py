@@ -19,14 +19,40 @@ from .constants import (BOP_TOKEN, DEFAULT_BBOX_TOKEN, DEFAULT_POINT_TOKEN,
 
 
 def load_grove_tokenizer(name_or_path: str, model_max_length: int = 1536):
-    """AutoTokenizer + special tokens (reference `train.py:124-159`)."""
-    import transformers
-    tok = transformers.AutoTokenizer.from_pretrained(
-        name_or_path, model_max_length=model_max_length,
-        padding_side="right", use_fast=False)
-    tok.pad_token = tok.unk_token
-    tok.add_tokens(list(GROVE_EXTRA_TOKENS), special_tokens=True)
-    return tok
+    """Tokenizer + GROVE special tokens (reference `train.py:124-159`).
+
+    A bare SentencePiece `.model` file (or a dir containing
+    `tokenizer.model` with no HF wrapper installed/configured) loads via
+    the from-spec pure-python implementation (`text/sentencepiece.py`) —
+    no HF assets or `sentencepiece` wheel needed. Otherwise defers to
+    AutoTokenizer like the reference. Registration order of the extra
+    tokens matches the reference in both paths.
+    """
+    import os
+
+    def _from_spec(model_path: str):
+        from .sentencepiece import SentencePieceTokenizer
+        tok = SentencePieceTokenizer.from_file(model_path, model_max_length)
+        tok.add_tokens(list(GROVE_EXTRA_TOKENS), special_tokens=True)
+        return tok
+
+    if name_or_path.endswith(".model") and os.path.isfile(name_or_path):
+        return _from_spec(name_or_path)
+    sp_path = os.path.join(name_or_path, "tokenizer.model")
+    try:
+        import transformers
+        tok = transformers.AutoTokenizer.from_pretrained(
+            name_or_path, model_max_length=model_max_length,
+            padding_side="right", use_fast=False)
+        tok.pad_token = tok.unk_token
+        tok.add_tokens(list(GROVE_EXTRA_TOKENS), special_tokens=True)
+        return tok
+    except Exception:
+        # HF needs tokenizer_config/sentencepiece wheel; the .model file
+        # alone is enough for the from-spec path
+        if os.path.isfile(sp_path):
+            return _from_spec(sp_path)
+        raise
 
 
 def special_token_ids_from(tokenizer) -> SpecialTokenIds:
