@@ -24,20 +24,11 @@ import jax.numpy as jnp
 
 
 def timed(fn, *args, iters=10):
-    """One jit launch running `iters` iterations; returns secs/iter."""
-
-    @jax.jit
-    def loop(*a):
-        def body(i, acc):
-            out = fn(*a)
-            leaf = jax.tree.leaves(out)[0]
-            return acc + leaf.reshape(-1)[0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, iters, body, 0.0)
-
-    _ = np.asarray(loop(*args))          # compile + warm
-    t0 = time.time()
-    _ = np.asarray(loop(*args))
-    return (time.time() - t0) / iters
+    """One jit launch running `iters` carry-chained iterations (see
+    benchmarks/_timing.py: the naive loop-invariant body gets hoisted by
+    XLA and under-reports)."""
+    from _timing import timed_loop
+    return timed_loop(fn, *args, iters=iters)
 
 
 def main():

@@ -39,3 +39,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def data_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard leading (batch) dim over "data"."""
     return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
+
+
+def globalize_batch(batch: dict, mesh: Mesh) -> dict:
+    """Host-local numpy batch -> global jax.Arrays sharded over "data".
+
+    Single-process: a plain device_put with the data sharding. Multi-host
+    (`jax.process_count() > 1`): each host contributes its LOCAL batch as
+    its shard of the global array (`jax.make_array_from_process_local_data`
+    — global batch = per-host batch x process_count, the DistributedSampler
+    model of `train.py:452-463`); jit then runs one SPMD program over the
+    global mesh and metric reductions cross hosts via ICI/DCN collectives.
+    """
+    import numpy as np
+
+    out = {}
+    multi = jax.process_count() > 1
+    for k, v in batch.items():
+        v = np.asarray(v)
+        sharding = data_sharded(mesh, v.ndim)
+        if multi:
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            out[k] = jax.device_put(v, sharding)
+    return out

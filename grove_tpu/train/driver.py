@@ -420,7 +420,13 @@ def _run(args):
             dt.update(time.time() - t_end)
             if args.profile_dir and global_step == 2:
                 jax.profiler.start_trace(args.profile_dir)
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if jax.process_count() > 1:
+                # each host's local batch becomes its shard of the global
+                # array; one SPMD program spans all hosts
+                from ..parallel.mesh import globalize_batch
+                jb = globalize_batch(batch, mesh)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
             trainable, opt_state, metrics = train_step(trainable, frozen,
                                                        opt_state, jb)
             if args.profile_dir and global_step == 4:
