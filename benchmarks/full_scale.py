@@ -103,11 +103,25 @@ def measure_peaks(iters=8):
     secs = timed_loop(lambda x, y: x @ y, a, bm, iters=iters)
     peak_tf = 2 * n ** 3 / secs / 1e12
 
-    # 2 GiB fill, jitted (eager dispatch through the relay is pathological)
+    # 2 GiB fill, jitted (eager dispatch through the relay is pathological).
+    # Bandwidth probe: an index-dependent slice start defeats loop hoisting
+    # WITHOUT the full-buffer copy a carry perturbation would cost (the
+    # perturbed-input pattern halves apparent BW on a pure-read kernel).
     big = jax.jit(lambda: jnp.ones((1024, 1024, 1024), jnp.bfloat16))()
-    secs_r = timed_loop(lambda x: jnp.sum(x, dtype=jnp.float32), big,
-                        iters=iters)
-    peak_gbs = big.nbytes / secs_r / 1e9
+    rows = big.shape[0] - 1
+
+    @jax.jit
+    def bw_loop(x):
+        def body(i, acc):
+            sl = jax.lax.dynamic_slice_in_dim(x, i % 2, rows, axis=0)
+            return acc + jnp.sum(sl, dtype=jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    fetch(bw_loop(big))
+    t0 = time.time()
+    fetch(bw_loop(big))
+    secs_r = (time.time() - t0) / iters
+    peak_gbs = big.nbytes * (rows / big.shape[0]) / secs_r / 1e9
     del big
     return peak_tf, peak_gbs
 

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 from grove_tpu.config import GroveConfig
 from grove_tpu.infer.beam import beam_decode
 from grove_tpu.infer.generate import greedy_decode

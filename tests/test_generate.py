@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 from grove_tpu.config import GroveConfig
 from grove_tpu.infer.generate import generate_grounded, greedy_decode
 from grove_tpu.models.grove import GroveModel, init_grove_params

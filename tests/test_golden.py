@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 from grove_tpu.config import GroveConfig
 from grove_tpu.models.grove import GroveModel, init_grove_params
 

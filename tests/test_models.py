@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 from grove_tpu.config import GroveConfig, LlamaConfig
 from grove_tpu.models.grove import GroveModel, init_grove_params
 from grove_tpu.models.llama import (LlamaEmbed, LlamaModel, init_kv_caches)

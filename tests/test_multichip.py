@@ -7,6 +7,8 @@ import sys
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 
 def test_dryrun_multichip_8():
     assert jax.device_count() >= 8, "conftest should provide 8 cpu devices"

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 from grove_tpu.config import GroveConfig
 from grove_tpu.data.collate import build_batch
 from grove_tpu.data.datasets.howto100m import HowTo100MDataset

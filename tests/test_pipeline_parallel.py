@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 from grove_tpu.config import LlamaConfig
 from grove_tpu.models.llama import LlamaModel
 from grove_tpu.parallel.pipeline import (make_pipe_mesh,

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 from grove_tpu.api import GroveProcessor
 from grove_tpu.config import GroveConfig
 from grove_tpu.data.synthetic import make_synthetic_howto_dataset

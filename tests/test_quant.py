@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 from grove_tpu.api.model import GroveForCausalLM
 from grove_tpu.config import GroveConfig
 from grove_tpu.infer.generate import greedy_decode

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 from grove_tpu.api.processor import GroveProcessor
 from grove_tpu.config import GroveConfig
 from grove_tpu.data.synthetic import _make_clip
