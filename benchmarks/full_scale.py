@@ -137,6 +137,8 @@ def main():
         "BENCH_FULL.json"))
     p.add_argument("--no_quant", action="store_true",
                    help="bf16 LLM weights (needs >15.75GB; multi-chip only)")
+    p.add_argument("--fused", action="store_true",
+                   help="fused qkv/gate_up projections (models/fuse.py)")
     args = p.parse_args()
 
     from grove_tpu.config import GroveConfig
@@ -155,9 +157,9 @@ def main():
           flush=True)
 
     cfg = GroveConfig()
-    if not args.no_quant:
-        cfg = dataclasses.replace(
-            cfg, llama=dataclasses.replace(cfg.llama, weight_quant=True))
+    cfg = dataclasses.replace(cfg, llama=dataclasses.replace(
+        cfg.llama, weight_quant=not args.no_quant, fused_qkv=args.fused))
+    report["fused_qkv"] = args.fused
     b = args.batch
     t = cfg.num_frames
     nv = cfg.num_video_tokens
@@ -165,16 +167,23 @@ def main():
 
     print(f"initializing full model on device (batch {b})...", flush=True)
     t0 = time.time()
-    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
-                                         dtype=jnp.bfloat16, batch=1)
-    # serving storage dtype: fp32 matrix params -> bf16 on device (norm
-    # weights/scales are 1-D and stay fp32); without this the vision
-    # towers sit in fp32 and the batch-4 decode cache OOMs the chip
-    params = jax.jit(lambda p: jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 and x.ndim > 1 else x, p),
-        donate_argnums=0)(variables["params"])
-    del variables
+    # Build the tree as ZEROS in the serving dtypes (fp32 matrices ->
+    # bf16; 1-D norm weights/scales stay fp32). A real fp32 init followed
+    # by a cast peaks at fp32+bf16 bytes on the chip (donation through the
+    # relay does not reliably free the source) and OOMs; zeros allocate
+    # exactly the final 10.24 GB, and TPU timing is value-independent.
+    shapes = jax.eval_shape(
+        lambda r: init_grove_params(cfg, r, dtype=jnp.bfloat16,
+                                    batch=1)[1]["params"],
+        jax.random.PRNGKey(0))
+    tgt = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            a.shape, jnp.bfloat16
+            if a.dtype == jnp.float32 and len(a.shape) > 1 else a.dtype),
+        shapes)
+    params = jax.jit(lambda: jax.tree.map(
+        lambda a: jnp.zeros(a.shape, a.dtype), tgt))()
+    model = GroveModel(cfg, dtype=jnp.bfloat16)
     pbytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
                  for x in jax.tree.leaves(params))
     n_params = sum(int(np.prod(x.shape))

@@ -176,6 +176,12 @@ class LlamaConfig:
     # per-output-channel scales (ops/quant.py); halves LLM weight HBM so
     # the full 8.4B model fits ONE v5e chip
     weight_quant: bool = False
+    # decode-path projection fusion: q/k/v -> one (D, 3D) matmul and
+    # gate/up -> one (D, 2I) matmul. Bit-identical numerics (output
+    # columns are independent dot products); fewer, wider matmuls keep
+    # the MXU busier at decode's tiny row counts. Params come from
+    # `models.fuse.fuse_llama_projections` (checkpoints stay unfused).
+    fused_qkv: bool = False
 
     @property
     def head_dim(self) -> int:

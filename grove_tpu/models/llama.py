@@ -101,9 +101,18 @@ class LlamaAttention(nn.Module):
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
-        q = _dense(cfg, cfg.num_heads * hd, self.dtype, "q_proj")(x)
-        k = _dense(cfg, cfg.num_kv_heads * hd, self.dtype, "k_proj")(x)
-        v = _dense(cfg, cfg.num_kv_heads * hd, self.dtype, "v_proj")(x)
+        nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
+        if cfg.fused_qkv:
+            # one wide matmul; columns are independent dot products, so
+            # splitting afterwards is bit-identical to three matmuls
+            qkv = _dense(cfg, nq + 2 * nkv, self.dtype, "qkv_proj")(x)
+            q = qkv[..., :nq]
+            k = qkv[..., nq:nq + nkv]
+            v = qkv[..., nq + nkv:]
+        else:
+            q = _dense(cfg, nq, self.dtype, "q_proj")(x)
+            k = _dense(cfg, nkv, self.dtype, "k_proj")(x)
+            v = _dense(cfg, nkv, self.dtype, "v_proj")(x)
         if cfg.lora_r > 0:
             # reference LoRA targets q_proj/v_proj (`train.py:52`)
             q = q + LoraDelta(cfg.num_heads * hd, cfg.lora_r, cfg.lora_alpha,
@@ -217,8 +226,16 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        gate = _dense(cfg, cfg.intermediate_size, self.dtype, "gate_proj")(x)
-        up = _dense(cfg, cfg.intermediate_size, self.dtype, "up_proj")(x)
+        if cfg.fused_qkv:
+            gu = _dense(cfg, 2 * cfg.intermediate_size, self.dtype,
+                        "gate_up_proj")(x)
+            gate = gu[..., :cfg.intermediate_size]
+            up = gu[..., cfg.intermediate_size:]
+        else:
+            gate = _dense(cfg, cfg.intermediate_size, self.dtype,
+                          "gate_proj")(x)
+            up = _dense(cfg, cfg.intermediate_size, self.dtype,
+                        "up_proj")(x)
         h = nn.silu(gate) * up
         return _dense(cfg, cfg.hidden_size, self.dtype, "down_proj")(h)
 
