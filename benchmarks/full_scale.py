@@ -97,11 +97,15 @@ def cost_of(fn, *args):
 def measure_peaks(iters=8):
     """Measured ceilings for the roofline: big bf16 matmul TF/s and a
     big-array reduction GB/s."""
-    n = 4096
-    a = jax.jit(lambda: jnp.ones((n, n), jnp.bfloat16))()
-    bm = jax.jit(lambda: jnp.ones((n, n), jnp.bfloat16))()
-    secs = timed_loop(lambda x, y: x @ y, a, bm, iters=iters)
-    peak_tf = 2 * n ** 3 / secs / 1e12
+    # batched 8 x 4096^3 (1.1 TFLOP/iter): a single 4096^3 is small enough
+    # that loop/launch slack dominates and the probe under-reads the MXU
+    # (full-scale prefill measured 4x this probe's number before the fix)
+    n, g = 4096, 8
+    a = jax.jit(lambda: jnp.ones((g, n, n), jnp.bfloat16))()
+    bm = jax.jit(lambda: jnp.ones((g, n, n), jnp.bfloat16))()
+    secs = timed_loop(lambda x, y: jnp.einsum("gij,gjk->gik", x, y),
+                      a, bm, iters=iters)
+    peak_tf = 2 * g * n ** 3 / secs / 1e12
 
     # 2 GiB fill, jitted (eager dispatch through the relay is pathological).
     # Bandwidth probe: an index-dependent slice start defeats loop hoisting
@@ -139,6 +143,9 @@ def main():
                    help="bf16 LLM weights (needs >15.75GB; multi-chip only)")
     p.add_argument("--fused", action="store_true",
                    help="fused qkv/gate_up projections (models/fuse.py)")
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 KV cache (fused Pallas decode kernel): "
+                        "halves cache bytes so batch 8 fits one chip")
     args = p.parse_args()
 
     from grove_tpu.config import GroveConfig
@@ -258,7 +265,9 @@ def main():
         params, hidden, det, ie)
 
     # chained decode: real token->token dependency inside one jit
-    caches = init_kv_caches(cfg.llama, b, L + MAX_NEW_TOKENS, jnp.bfloat16)
+    kv_dtype = jnp.int8 if args.kv_int8 else jnp.bfloat16
+    report["kv_cache"] = "int8" if args.kv_int8 else "bf16"
+    caches = init_kv_caches(cfg.llama, b, L + MAX_NEW_TOKENS, kv_dtype)
     tok0 = jnp.zeros((b, 1), jnp.int32)
 
     def decode_chain(p, tk, cc, steps):
@@ -286,12 +295,23 @@ def main():
         lambda p, tk, cc: model.apply({"params": p}, tk, L, cc,
                                       method=GroveModel.decode_step)[1],
         params, tok0, caches)
-    entry = {"ms": round(s_decode_step * 1e3, 2)}
+    # analytic decode traffic (cost_analysis overcounts fused HLO buffer
+    # traffic): LLM weight bytes read once per step + KV cache read
+    llm_bytes = sum(
+        int(np.prod(x.shape)) * x.dtype.itemsize
+        for path, x in jax.tree_util.tree_flatten_with_path(params)[0]
+        if "llama" in jax.tree_util.keystr(path)
+        or "lm_head" in jax.tree_util.keystr(path))
+    cache_bytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                      for x in jax.tree.leaves(caches))
+    cache_read = cache_bytes * L / (L + MAX_NEW_TOKENS)   # valid prefix
+    analytic = llm_bytes + cache_read
+    entry = {"ms": round(s_decode_step * 1e3, 2),
+             "analytic_bytes_gb": round(analytic / 1e9, 2),
+             "analytic_hbm_gbs": round(analytic / s_decode_step / 1e9, 1),
+             "bound": "memory"}
     if dec_bytes:
-        entry["hbm_gbs"] = round(dec_bytes / s_decode_step / 1e9, 1)
-        entry["hbm_frac_of_peak"] = round(
-            dec_bytes / s_decode_step / 1e9 / peak_gbs, 3)
-        entry["bound"] = "memory"
+        entry["xla_bytes_gbs"] = round(dec_bytes / s_decode_step / 1e9, 1)
     roofline["decode_step"] = entry
     print(f"  decode_step (chained x{n_dec}): {entry}", flush=True)
 

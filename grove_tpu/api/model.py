@@ -103,6 +103,22 @@ class GroveForCausalLM:
         model = GroveModel(cfg, dtype=self.model.dtype)
         return GroveForCausalLM(cfg, model, {"params": params})
 
+    def fuse(self) -> "GroveForCausalLM":
+        """Fused qkv/gate_up decode variant (models/fuse.py): bit-identical
+        numerics, fewer wider matmuls per LLM layer. Composes with
+        `quantize()` in either order. Returns a NEW instance."""
+        import dataclasses
+
+        from ..models.fuse import fuse_llama_projections
+        from ..models.grove import GroveModel
+
+        cfg = dataclasses.replace(
+            self.cfg, llama=dataclasses.replace(self.cfg.llama,
+                                                fused_qkv=True))
+        params = fuse_llama_projections(self.variables["params"])
+        model = GroveModel(cfg, dtype=self.model.dtype)
+        return GroveForCausalLM(cfg, model, {"params": params})
+
     def save_pretrained(self, save_dir: str) -> None:
         """Write an HF-flax-layout model directory: `config.json` +
         `flax_model.msgpack` — round-trips through `from_pretrained`

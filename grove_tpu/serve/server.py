@@ -360,6 +360,9 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--quantize_llm", action="store_true",
                    help="weight-only int8 LLM (halves LLM weight HBM; "
                         "lets the full model serve on one chip)")
+    p.add_argument("--fused_qkv", action="store_true",
+                   help="fuse qkv/gate_up projections (bit-identical; "
+                        "fewer wider matmuls per decode step)")
     args = p.parse_args(argv)
 
     if args.tokenizer:
@@ -374,6 +377,8 @@ def main(argv: Optional[List[str]] = None):
                                           tokenizer=tok)
     if args.quantize_llm:
         lm = lm.quantize()
+    if args.fused_qkv:
+        lm = lm.fuse()
     proc = GroveProcessor(tok, lm.cfg)
     server, _ = serve(proc, lm.model, lm.variables, host=args.host,
                       port=args.port, max_batch=args.max_batch,

@@ -103,3 +103,32 @@ def test_fuse_idempotent():
             jax.tree_util.tree_flatten_with_path(once)[0],
             jax.tree_util.tree_flatten_with_path(twice)[0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_api_fuse_composes_with_quantize(tmp_path):
+    """GroveForCausalLM.fuse() after quantize(): decode path still runs and
+    produces the same ids as the unfused model."""
+    from grove_tpu.api.model import GroveForCausalLM
+    from grove_tpu.infer.generate import greedy_decode
+
+    lm = GroveForCausalLM.from_pretrained(None, model_size="tiny",
+                                          dtype=jnp.float32)
+    fq = lm.quantize().fuse()
+    assert fq.cfg.llama.fused_qkv and fq.cfg.llama.weight_quant
+    q = lm.quantize()
+
+    rng = np.random.default_rng(0)
+    nv = lm.cfg.num_video_tokens
+    L = nv + 8
+    ids = jnp.asarray(rng.integers(3, 100, size=(1, L)), jnp.int32)
+    ve = jnp.asarray(rng.normal(size=(1, nv, lm.cfg.llama.hidden_size)),
+                     jnp.float32)
+    vs = jnp.zeros((1,), jnp.int32)
+    gen_q, _ = greedy_decode(q.model, q.variables, ids, ve, vs,
+                             max_new_tokens=6, eos_id=lm.cfg.tokens.eos,
+                             early_exit=False)
+    gen_fq, _ = greedy_decode(fq.model, fq.variables, ids, ve, vs,
+                              max_new_tokens=6, eos_id=lm.cfg.tokens.eos,
+                              early_exit=False)
+    np.testing.assert_array_equal(np.asarray(gen_q), np.asarray(gen_fq))
