@@ -59,12 +59,16 @@ def fuse_llama_projections(params: Dict) -> Dict:
         if not isinstance(tree, dict):
             return tree
         out = {}
-        if {"q_proj", "k_proj", "v_proj"} <= set(tree):
+        # LLaMA-exact signatures: CLIP attention also has q/k/v_proj but
+        # pairs them with "out_proj" (HF CLIP naming) and its MLP is
+        # fc1/fc2 — requiring the o_proj / down_proj siblings keeps the
+        # vision towers untouched
+        if {"q_proj", "k_proj", "v_proj", "o_proj"} <= set(tree):
             out["qkv_proj"] = _concat_dense(
                 [tree["q_proj"], tree["k_proj"], tree["v_proj"]])
             rest = {k: v for k, v in tree.items()
                     if k not in ("q_proj", "k_proj", "v_proj")}
-        elif {"gate_proj", "up_proj"} <= set(tree):
+        elif {"gate_proj", "up_proj", "down_proj"} <= set(tree):
             out["gate_up_proj"] = _concat_dense(
                 [tree["gate_proj"], tree["up_proj"]])
             rest = {k: v for k, v in tree.items()

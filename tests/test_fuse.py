@@ -132,3 +132,25 @@ def test_api_fuse_composes_with_quantize(tmp_path):
                               max_new_tokens=6, eos_id=lm.cfg.tokens.eos,
                               early_exit=False)
     np.testing.assert_array_equal(np.asarray(gen_q), np.asarray(gen_fq))
+
+
+def test_fuse_leaves_vision_towers_untouched():
+    """Regression: CLIP attention also has q/k/v_proj (paired with
+    out_proj, HF naming) — fusion must only touch LLaMA blocks."""
+    from grove_tpu.config import GroveConfig
+    from grove_tpu.models.grove import init_grove_params
+
+    cfg = GroveConfig.tiny()
+    _, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32, batch=1)
+    params = variables["params"]
+    fused = fuse_llama_projections(params)
+    # CLIP subtree byte-identical
+    for (_, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params["vision_tower"])[0],
+            jax.tree_util.tree_flatten_with_path(fused["vision_tower"])[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # LLaMA subtree fused
+    assert "qkv_proj" in fused["llama"]["layers_0"]["self_attn"]
+    assert "gate_up_proj" in fused["llama"]["layers_0"]["mlp"]
+    assert "q_proj" not in fused["llama"]["layers_0"]["self_attn"]
