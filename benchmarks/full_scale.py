@@ -146,6 +146,14 @@ def main():
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 KV cache (fused Pallas decode kernel): "
                         "halves cache bytes so batch 8 fits one chip")
+    p.add_argument("--sam_chunk", default=0, type=int,
+                   help="encode SAM frames in N sequential chunks "
+                        "(lax.map) — halves peak activation memory at "
+                        "batch 8 where all 64 frames at once OOM")
+    p.add_argument("--only", default="all", choices=["all", "decode"],
+                   help="'decode': skip encoder/prefill stages (isolated "
+                        "decode measurement at batches whose encoder "
+                        "activations don't fit alongside)")
     args = p.parse_args()
 
     from grove_tpu.config import GroveConfig
@@ -239,30 +247,44 @@ def main():
         return secs
 
     print("timing stages...", flush=True)
-    s_clip = stage(
-        "clip_encode",
-        lambda p, f: model.apply({"params": p}, f,
-                                 method=GroveModel.encode_video)[0],
-        params, fc)
-    s_sam = stage(
-        "sam_encode",
-        lambda p, f: model.apply({"params": p}, f,
-                                 method=GroveModel.encode_grounding),
-        params, fs)
-    s_prefill = stage(
-        "lm_prefill",
-        lambda p, i, v, s: model.apply({"params": p}, i, v, s,
-                                       method=GroveModel.lm_forward)[1],
-        params, ids_j, ve, vs)
+    s_clip = s_sam = s_prefill = s_ground = 0.0
+    if args.only != "decode":
+        s_clip = stage(
+            "clip_encode",
+            lambda p, f: model.apply({"params": p}, f,
+                                     method=GroveModel.encode_video)[0],
+            params, fc)
+    if args.sam_chunk > 1:
+        nch = args.sam_chunk
+        assert b % nch == 0, (b, nch)
 
-    hidden = jnp.zeros((b, L, cfg.llama.hidden_size), jnp.bfloat16)
-    g2 = cfg.sam_enc.grid ** 2
-    ie = jnp.zeros((b * t, g2, cfg.sam_dec.embed_dim), jnp.bfloat16)
-    s_ground = stage(
-        "ground",
-        lambda p, h, d, e: model.apply({"params": p}, h, d, e,
-                                       method=GroveModel.ground)[0],
-        params, hidden, det, ie)
+        def sam_fn(p, f):
+            fr = f.reshape(nch, b // nch, *f.shape[1:])
+            out = jax.lax.map(
+                lambda ff: model.apply({"params": p}, ff,
+                                       method=GroveModel.encode_grounding),
+                fr)
+            return out.reshape(-1, *out.shape[2:])
+    else:
+        def sam_fn(p, f):
+            return model.apply({"params": p}, f,
+                               method=GroveModel.encode_grounding)
+    if args.only != "decode":
+        s_sam = stage("sam_encode", sam_fn, params, fs)
+        s_prefill = stage(
+            "lm_prefill",
+            lambda p, i, v, s: model.apply({"params": p}, i, v, s,
+                                           method=GroveModel.lm_forward)[1],
+            params, ids_j, ve, vs)
+
+        hidden = jnp.zeros((b, L, cfg.llama.hidden_size), jnp.bfloat16)
+        g2 = cfg.sam_enc.grid ** 2
+        ie = jnp.zeros((b * t, g2, cfg.sam_dec.embed_dim), jnp.bfloat16)
+        s_ground = stage(
+            "ground",
+            lambda p, h, d, e: model.apply({"params": p}, h, d, e,
+                                           method=GroveModel.ground)[0],
+            params, hidden, det, ie)
 
     # chained decode: real token->token dependency inside one jit
     kv_dtype = jnp.int8 if args.kv_int8 else jnp.bfloat16
@@ -315,17 +337,17 @@ def main():
     roofline["decode_step"] = entry
     print(f"  decode_step (chained x{n_dec}): {entry}", flush=True)
 
-    # end-to-end clip time = encoders + prefill + 64 decode steps + ground
-    e2e = (s_clip + s_sam + s_prefill + s_ground
-           + MAX_NEW_TOKENS * s_decode_step)
-    clips_per_sec = b / e2e
     report["stages_ms"] = stages
     report["roofline"] = roofline
-    report["e2e_sec_per_batch"] = round(e2e, 3)
-    report["clips_per_sec"] = round(clips_per_sec, 3)
     report["max_new_tokens"] = MAX_NEW_TOKENS
-    report["decode_share"] = round(
-        MAX_NEW_TOKENS * s_decode_step / e2e, 3)
+    if args.only != "decode":
+        # e2e clip time = encoders + prefill + 64 decode steps + ground
+        e2e = (s_clip + s_sam + s_prefill + s_ground
+               + MAX_NEW_TOKENS * s_decode_step)
+        report["e2e_sec_per_batch"] = round(e2e, 3)
+        report["clips_per_sec"] = round(b / e2e, 3)
+        report["decode_share"] = round(
+            MAX_NEW_TOKENS * s_decode_step / e2e, 3)
 
     print(json.dumps(report))
     with open(args.output, "w") as f:

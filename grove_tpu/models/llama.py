@@ -168,6 +168,9 @@ class LlamaAttention(nn.Module):
                 if pad_lens is not None:
                     valid = valid & ((kpos >= pad_lens[:, None])
                                      | (kpos == cache_offset))
+                # kernel wants a per-sample (B, C) bias; without pad_lens
+                # the mask is sample-independent (1, C) — broadcast it
+                valid = jnp.broadcast_to(valid, (b, cpad))
                 bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
                 out = int8_cache_decode_attention(q[:, 0], ck, cv, cks,
                                                   cvs, bias)

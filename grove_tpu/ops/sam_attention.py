@@ -41,9 +41,10 @@ def relpos_terms(q, rel_pos_h, rel_pos_w, hw: Tuple[int, int]):
 
 def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float,
             block_k: int, grid_w: int, kv_len: int):
-    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
+    dt = q_ref.dtype               # dots in the input dtype (bf16 on the
+    q = q_ref[0]                   # MXU fast path), f32 accumulation
     block_q, d = q.shape
-    rw = rw_ref[0].astype(jnp.float32)                # (bq, gw)
+    rw = rw_ref[0]                                    # (bq, gw)
     rows_per_block = block_k // grid_w
 
     m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
@@ -54,9 +55,11 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float,
 
     def body(ki, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
         # bias block via 0/1 expansion matmuls (interleaving reshapes and
         # lane-dim dynamic slices both crash Mosaic here; selector-matrix
         # matmuls from iota comparisons ride the MXU instead):
@@ -64,16 +67,15 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float,
         #   bias_w = rw      @ T,   T[x, c] = [c %  w == x]
         # rh comes in transposed (gh, bq) so the kv-row slice is on the
         # SUBLANE dim (dynamic sublane slices are supported).
-        rh_blk = rh_ref[0, pl.ds(ki * rows_per_block, rows_per_block), :
-                        ].astype(jnp.float32)            # (rows, bq)
+        rh_blk = rh_ref[0, pl.ds(ki * rows_per_block, rows_per_block), :]
         col = jax.lax.broadcasted_iota(jnp.int32,
                                        (rows_per_block, block_k), 1)
         row = jax.lax.broadcasted_iota(jnp.int32,
                                        (rows_per_block, block_k), 0)
-        expand_rows = (col // grid_w == row).astype(jnp.float32)
+        expand_rows = (col // grid_w == row).astype(dt)
         colw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, block_k), 1)
         xw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, block_k), 0)
-        expand_cols = (colw % grid_w == xw).astype(jnp.float32)
+        expand_cols = (colw % grid_w == xw).astype(dt)
         bias_h = jax.lax.dot_general(
             rh_blk, expand_rows,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -85,7 +87,7 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float,
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * corr + jnp.dot(p, v,
+        acc_new = acc * corr + jnp.dot(p.astype(dt), v,
                                        preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
@@ -134,6 +136,101 @@ def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term,
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * nh, s, d), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qf, kf, vf, rhf, rwf)
+    return out.reshape(b, nh, s, d).transpose(0, 2, 1, 3)
+
+
+def _grouped_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                    scale: float, grid_h: int, grid_w: int, group: int):
+    """One-pass attention for G window-heads per grid cell.
+
+    The flash kernel above pays per-grid-cell overhead on (4608, 7) tiny
+    cells for SAM's 196-token windows (measured ~11 ms for 56 GFLOP —
+    ~5 TF/s); at S<=256 the whole window fits VMEM, so this kernel does a
+    plain full-S softmax and amortizes the cell overhead over `group`
+    window-heads via an in-cell loop."""
+    s = q_ref.shape[1]
+    rows_per = s // grid_h
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (grid_h, s), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (grid_h, s), 0)
+    expand_rows = (col // grid_w == row).astype(jnp.float32)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, s), 1)
+    xw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, s), 0)
+    expand_cols = (colw % grid_w == xw).astype(jnp.float32)
+
+    dt = q_ref.dtype                   # matmuls ride the MXU in the input
+    expand_rows = expand_rows.astype(dt)   # dtype (bf16 in production) with
+    expand_cols = expand_cols.astype(dt)   # fp32 accumulation; fp32 inputs
+                                           # (tests) stay fp32 throughout
+
+    def per(g, _):
+        q = q_ref[g]                                   # (s, d)
+        k = k_ref[g]
+        v = v_ref[g]
+        logits = jax.lax.dot_general(                  # q @ k^T, no
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),  # transpose op
+            preferred_element_type=jnp.float32) * scale
+        bias_h = jax.lax.dot_general(
+            rh_ref[g], expand_rows,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (s, s)
+        bias_w = jnp.dot(rw_ref[g], expand_cols,
+                         preferred_element_type=jnp.float32)
+        logits = logits + bias_h + bias_w
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[g] = jnp.dot(p.astype(dt), v,
+                           preferred_element_type=jnp.float32
+                           ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, per, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "group"))
+def grouped_window_attention_relpos(q, k, v, rel_h_term, rel_w_term,
+                                    hw: Tuple[int, int], group: int = 16):
+    """Windowed SAM attention, one softmax pass, G window-heads per cell.
+
+    q/k/v: (B, S, H, D) with B = #windows, S = win*win. rel terms as in
+    `relpos_terms`."""
+    b, s, nh, d = q.shape
+    gh, gw = hw
+    scale = 1.0 / math.sqrt(d)
+    n = b * nh
+    while n % group != 0:
+        group //= 2
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(n, s, -1)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    rhf = rel_h_term.reshape(n, s, gh).transpose(0, 2, 1)
+    rwf = rel_w_term.reshape(n, s, gw)
+
+    kernel = functools.partial(_grouped_kernel, scale=scale, grid_h=gh,
+                               grid_w=gw, group=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // group,),
+        in_specs=[
+            pl.BlockSpec((group, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, gh, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, gw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, s, d), q.dtype),
         interpret=jax.default_backend() != "tpu",
     )(qf, kf, vf, rhf, rwf)
     return out.reshape(b, nh, s, d).transpose(0, 2, 1, 3)
@@ -194,13 +291,41 @@ def _fused_bwd(hw, res, g):
 _fused_with_vjp.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _grouped_with_vjp(q, k, v, rel_pos_h, rel_pos_w, hw):
+    rh, rw = relpos_terms(q, rel_pos_h, rel_pos_w, hw)
+    return grouped_window_attention_relpos(q, k, v, rh, rw, hw)
+
+
+def _grouped_fwd(q, k, v, rel_pos_h, rel_pos_w, hw):
+    return (_grouped_with_vjp(q, k, v, rel_pos_h, rel_pos_w, hw),
+            (q, k, v, rel_pos_h, rel_pos_w))
+
+
+def _grouped_bwd(hw, res, g):
+    # delegate to the flash fwd+bwd kernels (recompute-forward, remat
+    # style): the grouped kernel speeds the forward; the tested fused
+    # backward (ops/sam_attention_bwd.py) keeps training numerics
+    from .sam_attention_bwd import relpos_flash_attention
+    q, k, v, rel_pos_h, rel_pos_w = res
+    _, vjp = jax.vjp(
+        lambda *a: relpos_flash_attention(*a, hw),
+        q, k, v, rel_pos_h, rel_pos_w)
+    return vjp(g)
+
+
+_grouped_with_vjp.defvjp(_grouped_fwd, _grouped_bwd)
+
+
 def sam_attention_with_relpos(q, k, v, rel_pos_h, rel_pos_w,
                               hw: Tuple[int, int], impl: str = "auto"):
     """Full SAM attention: q unscaled (B, S, H, D) -> (B, S, H, D).
 
-    impl "auto": fused pallas kernel when on TPU and shapes conform (with a
-    custom VJP that differentiates through the XLA path), else the XLA
-    bias-materializing path.
+    impl "auto" on TPU: windowed shapes (S <= 256, the 14x14=196 case) take
+    the one-pass grouped kernel — the flash kernel's (B*H, S/28) grid is
+    pure per-cell overhead there (measured ~5 TF/s); global shapes take the
+    fused flash forward+backward kernels. Off-TPU / non-conforming shapes
+    fall back to the XLA bias-materializing path.
     """
     h, w = hw
     s = q.shape[1]
@@ -209,6 +334,8 @@ def sam_attention_with_relpos(q, k, v, rel_pos_h, rel_pos_w,
                   (impl == "auto" and jax.default_backend() == "tpu"
                    and conforming))
     if use_pallas:
+        if s <= 256:
+            return _grouped_with_vjp(q, k, v, rel_pos_h, rel_pos_w, hw)
         # fully fused: flash forward + flash backward (incl. rel-table
         # gradients) — see ops/sam_attention_bwd.py
         from .sam_attention_bwd import relpos_flash_attention

@@ -54,13 +54,14 @@ def _selectors_full(k_offset, block_k, grid_h, grid_w):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref, *,
                 scale, block_k, grid_h, grid_w, kv_len):
-    q = q_ref[0].astype(jnp.float32) * scale
+    dt = q_ref.dtype       # dots in input dtype (bf16 MXU fast path in
+    q = q_ref[0]           # production; f32 accumulation either way)
     block_q, d = q.shape
     # rh/rw arrive grid-major (gh|gw on the SUBLANE dim): a (bq, gh) lane
     # layout pads gh=14 -> 128 lanes (9x HBM); contractions below use
     # dot_general on dim 0 so no transpose is needed
-    rh = rh_ref[0, 0].astype(jnp.float32)       # (gh, bq)
-    rw = rw_ref[0, 0].astype(jnp.float32)       # (gw, bq)
+    rh = rh_ref[0, 0]                           # (gh, bq)
+    rw = rw_ref[0, 0]                           # (gw, bq)
 
     m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((block_q, 1), jnp.float32)
@@ -68,21 +69,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref, *,
 
     def body(ki, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
         eh, ew = _selectors_full(ki * block_k, block_k, grid_h, grid_w)
         s = s + jax.lax.dot_general(
-            rh, eh, dimension_numbers=(((0,), (0,)), ((), ())),
+            rh, eh.astype(dt), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         s = s + jax.lax.dot_general(
-            rw, ew, dimension_numbers=(((0,), (0,)), ((), ())),
+            rw, ew.astype(dt), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * corr + jnp.dot(p, v,
+        acc_new = acc * corr + jnp.dot(p.astype(dt), v,
                                        preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
@@ -95,39 +98,44 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref, *,
 def _dq_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
                dcap_ref, dq_ref, drh_ref, drw_ref, *, scale, block_k,
                grid_h, grid_w, kv_len):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    dt = q_ref.dtype
+    q = q_ref[0]
+    do = do_ref[0]
     qi = pl.program_id(1)
     lse = _row_to_col(lse_ref[0, pl.ds(qi, 1), :]
                       .astype(jnp.float32))                # (block_q, 1)
     dcap = _row_to_col(dcap_ref[0, pl.ds(qi, 1), :]
                        .astype(jnp.float32))               # (block_q, 1)
-    rh = rh_ref[0, 0].astype(jnp.float32)       # (gh, bq)
-    rw = rw_ref[0, 0].astype(jnp.float32)       # (gw, bq)
+    rh = rh_ref[0, 0]                           # (gh, bq)
+    rw = rw_ref[0, 0]                           # (gw, bq)
     block_q, d = q.shape
     num_kv = kv_len // block_k
 
     def body(ki, carry):
         dq, drh_acc, drw_acc = carry
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
         eh, ew = _selectors_full(ki * block_k, block_k, grid_h, grid_w)
         s = s + jax.lax.dot_general(
-            rh, eh, dimension_numbers=(((0,), (0,)), ((), ())),
+            rh, eh.astype(dt), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         s = s + jax.lax.dot_general(
-            rw, ew, dimension_numbers=(((0,), (0,)), ((), ())),
+            rw, ew.astype(dt), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - dcap)                                 # (bq, bk)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dp - dcap)).astype(dt)                    # (bq, bk)
         dq_new = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
         drh_new = drh_acc + jax.lax.dot_general(
-            eh, ds, dimension_numbers=(((1,), (1,)), ((), ())),
+            eh.astype(dt), ds, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (gh, bq)
         drw_new = drw_acc + jax.lax.dot_general(
-            ew, ds, dimension_numbers=(((1,), (1,)), ((), ())),
+            ew.astype(dt), ds, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (gw, bq)
         return dq_new, drh_new, drw_new
 
@@ -144,24 +152,29 @@ def _dq_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
 def _dkv_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
                 dcap_ref, dk_ref, dv_ref, *, scale, block_q, grid_h,
                 grid_w, q_len):
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    dt = q_ref.dtype
+    k = k_ref[0]
+    v = v_ref[0]
     block_k, d = k.shape
     ki = pl.program_id(1)
     k_offset = ki * block_k
     eh, ew = _selectors_full(k_offset, block_k, grid_h, grid_w)
+    eh = eh.astype(dt)
+    ew = ew.astype(dt)
     num_q = q_len // block_q
 
     def body(qi, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :]
         lse = _row_to_col(lse_ref[0, pl.ds(qi, 1), :].astype(jnp.float32))
         dcap = _row_to_col(dcap_ref[0, pl.ds(qi, 1), :]
                            .astype(jnp.float32))
-        rh = rh_ref[0, pl.ds(qi, 1), :, :][0].astype(jnp.float32)  # (gh,bq)
-        rw = rw_ref[0, pl.ds(qi, 1), :, :][0].astype(jnp.float32)  # (gw,bq)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        rh = rh_ref[0, pl.ds(qi, 1), :, :][0]                      # (gh,bq)
+        rw = rw_ref[0, pl.ds(qi, 1), :, :][0]                      # (gw,bq)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
         s = s + jax.lax.dot_general(
             rh, eh, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -170,10 +183,12 @@ def _dkv_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)
         dv_new = dv + jax.lax.dot_general(
-            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            p.astype(dt), do, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - dcap)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dp - dcap)).astype(dt)
         dk_new = dk + jax.lax.dot_general(
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

@@ -95,3 +95,36 @@ def test_int8_left_padded_matches_per_sample(rng):
                               jnp.asarray([2], np.int32), max_new_tokens=5,
                               eos_id=cfg.tokens.eos, cache_dtype=jnp.int8)
         assert np.asarray(gb)[i].tolist() == np.asarray(gi)[0].tolist(), i
+
+
+def test_int8_cache_decode_batch_gt1_no_padlens(rng):
+    """Regression: decode_step with an int8 cache at batch>1 and no
+    pad_lens built a (1, C) bias the kernel rejects."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from grove_tpu.config import LlamaConfig
+    from grove_tpu.models.llama import LlamaModel, init_kv_caches
+
+    cfg = LlamaConfig.tiny()
+    model = LlamaModel(cfg, dtype=jnp.float32)
+    b, L = 3, 8
+    x = jnp.asarray(rng.normal(size=(b, L, cfg.hidden_size)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(L)[None], (b, L))
+    params = model.init(jax.random.PRNGKey(0), x, pos)["params"]
+
+    caches8 = init_kv_caches(cfg, b, L + 4, jnp.int8)
+    _, c8 = model.apply({"params": params}, x, pos, kv_caches=caches8,
+                        cache_offset=0)
+    tok = x[:, :1]
+    tpos = jnp.full((b, 1), L, jnp.int32)
+    out8, _ = model.apply({"params": params}, tok, tpos, kv_caches=c8,
+                          cache_offset=L)
+
+    caches = init_kv_caches(cfg, b, L + 4, jnp.float32)
+    _, cf = model.apply({"params": params}, x, pos, kv_caches=caches,
+                        cache_offset=0)
+    outf, _ = model.apply({"params": params}, tok, tpos, kv_caches=cf,
+                          cache_offset=L)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(outf),
+                               rtol=0.1, atol=0.05)   # int8 cache noise

@@ -85,3 +85,42 @@ def test_fused_path_gradients_match_xla(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_grouped_window_kernel_matches_xla(rng):
+    """One-pass grouped kernel (windowed dispatch, S<=256) at the real
+    14x14 window shape, several windows per cell."""
+    from grove_tpu.ops.sam_attention import grouped_window_attention_relpos
+    q, k, v, rel_h, rel_w, hw = _setup(rng, b=6, gh=14, gw=14, nh=4, d=8)
+    d = q.shape[-1]
+    bias = decomposed_rel_pos_bias(q, rel_h, rel_w, hw)
+    want = np.asarray(xla_attention(q, k, v, bias=bias,
+                                    scale=1.0 / math.sqrt(d)))
+    rh, rw = relpos_terms(q, rel_h, rel_w, hw)
+    got = np.asarray(grouped_window_attention_relpos(q, k, v, rh, rw, hw,
+                                                     group=8))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_grouped_dispatch_and_gradients(rng):
+    """impl='pallas' at S=196 routes to the grouped kernel; grads match
+    the XLA path (backward delegates to the flash bwd kernels)."""
+    q, k, v, rel_h, rel_w, hw = _setup(rng, b=2, gh=14, gw=14, nh=2, d=8)
+    d = q.shape[-1]
+    out = sam_attention_with_relpos(q, k, v, rel_h, rel_w, hw,
+                                    impl="pallas")
+    bias = decomposed_rel_pos_bias(q, rel_h, rel_w, hw)
+    want = xla_attention(q, k, v, bias=bias, scale=1.0 / math.sqrt(d))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss(impl):
+        def f(*a):
+            return jnp.sum(sam_attention_with_relpos(*a, hw,
+                                                     impl=impl) ** 2)
+        return f
+    g1 = jax.grad(loss("pallas"), argnums=(0, 2, 3))(q, k, v, rel_h, rel_w)
+    g2 = jax.grad(loss("xla"), argnums=(0, 2, 3))(q, k, v, rel_h, rel_w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
