@@ -127,6 +127,28 @@ class GroveProcessor:
                                          temperature, top_k, top_p, seed,
                                          num_beams, length_penalty))
 
+    def generate_with_backend(self, model, variables, video_path: str,
+                              decode_backend,
+                              instruction: Optional[str] = None,
+                              temp_objectness_threshold=None,
+                              start_frame=None, end_frame=None,
+                              video_fps=None) -> Dict:
+        """`generate` with a pluggable decode backend (the continuous-
+        batching serving engine supplies one; see serve/continuous.py).
+        Greedy semantics; knobs live in the backend."""
+        frames = self.decode_video(video_path, start_frame, end_frame,
+                                   video_fps)
+        if frames.size == 0:
+            raise ValueError(f"No frames decoded from {video_path}")
+        original_size = (frames.shape[2], frames.shape[1])
+        frames_clip, frames_sam = preprocess_frames(
+            frames, self.cfg.clip.image_size, self.cfg.sam_enc.img_size)
+        return infer_clip(
+            model, variables, self.cfg, self.tokenizer, frames_clip,
+            frames_sam, original_size, instruction=instruction,
+            threshold=temp_objectness_threshold,
+            decode_backend=decode_backend)
+
     def generate_batch(self, model, variables, video_paths,
                        instructions=None, max_new_tokens: int = 64,
                        temp_objectness_threshold: Optional[float] = None,

@@ -149,11 +149,16 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
                original_size, *, instruction: Optional[str] = None,
                max_new_tokens: int = 64,
                threshold: Optional[float] = None,
-               decode_kwargs: Optional[Dict] = None) -> Dict:
+               decode_kwargs: Optional[Dict] = None,
+               decode_backend=None) -> Dict:
     """frames_*_all: (T_total, H, W, 3) preprocessed full-clip frames.
 
     `decode_kwargs` forwards knobs to the generation loop (e.g.
-    `{"cache_dtype": jnp.int8, "early_exit": False}`)."""
+    `{"cache_dtype": jnp.int8, "early_exit": False}`).
+    `decode_backend(spliced_ids (Lp,), video_start, fc, fs)` replaces the
+    default `generate_grounded` call (used by the continuous-batching
+    serving engine); it must return the same dict surface
+    (generated_ids (1, n), pred_boxes, objectness_logits, phrase_mask)."""
     threshold = (threshold if threshold is not None
                  else cfg.temp_objectness_threshold)
     t_total = frames_clip_all.shape[0]
@@ -175,11 +180,14 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
 
     fc = jnp.asarray(frames_clip_all[center][None])
     fs = jnp.asarray(frames_sam_all[center][None])
-    gen = generate_grounded(model, variables, cfg, tokenizer,
-                            packed.input_ids[None],
-                            np.asarray([packed.video_start]),
-                            fc, fs, max_new_tokens=max_new_tokens,
-                            **(decode_kwargs or {}))
+    if decode_backend is not None:
+        gen = decode_backend(packed.input_ids, packed.video_start, fc, fs)
+    else:
+        gen = generate_grounded(model, variables, cfg, tokenizer,
+                                packed.input_ids[None],
+                                np.asarray([packed.video_start]),
+                                fc, fs, max_new_tokens=max_new_tokens,
+                                **(decode_kwargs or {}))
 
     gen_ids = [int(t) for t in gen["generated_ids"][0]
                if t != cfg.tokens.pad]

@@ -363,6 +363,12 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--fused_qkv", action="store_true",
                    help="fuse qkv/gate_up projections (bit-identical; "
                         "fewer wider matmuls per decode step)")
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous batching: requests join/leave one "
+                        "resident decode loop (greedy-only; see "
+                        "serve/continuous.py)")
+    p.add_argument("--n_slots", default=4, type=int,
+                   help="decode slots for --continuous")
     args = p.parse_args(argv)
 
     if args.tokenizer:
@@ -380,10 +386,17 @@ def main(argv: Optional[List[str]] = None):
     if args.fused_qkv:
         lm = lm.fuse()
     proc = GroveProcessor(tok, lm.cfg)
-    server, _ = serve(proc, lm.model, lm.variables, host=args.host,
-                      port=args.port, max_batch=args.max_batch,
-                      batch_timeout_ms=args.batch_timeout_ms,
-                      model_name=f"grove-{args.model_size}")
+    if args.continuous:
+        from .continuous import ContinuousService
+        engine = ContinuousService(proc, lm.model, lm.variables,
+                                   n_slots=args.n_slots)
+        server = GroveServer((args.host, args.port), engine,
+                             f"grove-{args.model_size}-continuous")
+    else:
+        server, _ = serve(proc, lm.model, lm.variables, host=args.host,
+                          port=args.port, max_batch=args.max_batch,
+                          batch_timeout_ms=args.batch_timeout_ms,
+                          model_name=f"grove-{args.model_size}")
     print(f"serving grove-{args.model_size} on {args.host}:{args.port}")
     server.serve_forever()
 
