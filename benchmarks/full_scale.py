@@ -248,12 +248,6 @@ def main():
 
     print("timing stages...", flush=True)
     s_clip = s_sam = s_prefill = s_ground = 0.0
-    if args.only != "decode":
-        s_clip = stage(
-            "clip_encode",
-            lambda p, f: model.apply({"params": p}, f,
-                                     method=GroveModel.encode_video)[0],
-            params, fc)
     if args.sam_chunk > 1:
         nch = args.sam_chunk
         assert b % nch == 0, (b, nch)
@@ -270,7 +264,15 @@ def main():
             return model.apply({"params": p}, f,
                                method=GroveModel.encode_grounding)
     if args.only != "decode":
+        # SAM first: it has the largest activation workspace, and running
+        # it into a fresh heap avoids the fragmentation OOM that the
+        # post-clip ordering hits at batch 8
         s_sam = stage("sam_encode", sam_fn, params, fs)
+        s_clip = stage(
+            "clip_encode",
+            lambda p, f: model.apply({"params": p}, f,
+                                     method=GroveModel.encode_video)[0],
+            params, fc)
         s_prefill = stage(
             "lm_prefill",
             lambda p, i, v, s: model.apply({"params": p}, i, v, s,
