@@ -79,11 +79,11 @@ def gt_localization_accuracy(pred: Dict, ref: Dict,
 
 
 def naive_lemma(word: str) -> str:
-    """Suffix-stripping fallback for the CoreNLP lemmatizer."""
-    for suf in ("ies", "es", "s", "ing", "ed"):
-        if word.endswith(suf) and len(word) > len(suf) + 2:
-            return word[: -len(suf)]
-    return word
+    """Rule-based English lemmatizer (irregular table + orthographic
+    repairs; see evals/lemma.py) standing in for CoreNLP. Name kept for
+    backward compatibility — callers can still inject their own."""
+    from .lemma import english_lemma
+    return english_lemma(word)
 
 
 def gen_grounding_f1(pred: Dict, ref: Dict, iou_thresh: float = 0.5,

@@ -163,3 +163,20 @@ def test_meteor_repeated_word_alignment():
     # penalty=0.5*(1/2)^3=1/16 -> score = (20/29)*(15/16)
     s = meteor_sentence(["b a b"], "a b")
     assert abs(s - (20 / 29) * (15 / 16)) < 1e-9
+
+
+def test_english_lemma_classes():
+    """ANet class matching: CoreNLP-equivalent lemmas on regular
+    inflections + common irregulars (evals/lemma.py)."""
+    from grove_tpu.evals.lemma import english_lemma as L
+    for word, want in [("cups", "cup"), ("babies", "baby"),
+                       ("dishes", "dish"), ("knives", "knife"),
+                       ("children", "child"), ("people", "person"),
+                       ("glasses", "glass"), ("tomatoes", "tomato"),
+                       ("slicing", "slice"), ("running", "run"),
+                       ("stopped", "stop"), ("scissors", "scissors"),
+                       ("bus", "bus"), ("cat", "cat")]:
+        assert L(word) == want, (word, L(word), want)
+    # wired as the anet default
+    from grove_tpu.evals.anet import naive_lemma
+    assert naive_lemma("babies") == "baby"
