@@ -236,6 +236,105 @@ def grouped_window_attention_relpos(q, k, v, rel_h_term, rel_w_term,
     return out.reshape(b, nh, s, d).transpose(0, 2, 1, 3)
 
 
+def _grouped_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                       scale: float, grid_h: int, grid_w: int,
+                       group: int, heads: int, head_dim: int):
+    """Layout-preserving variant: blocks are (G, S, H*D) — the raw dense
+    outputs — with heads split by STATIC lane slices inside the kernel,
+    so the (B*H, S, D) fold/unfold transposes (~2 GB of HBM churn per
+    call at SAM-H shapes) never happen.
+
+    Measured at the SAM-H windowed shape (288x196x16x80): 8.3 ms vs the
+    grouped v1 kernel's 8.9 and the flash kernel's 11.0 — the best
+    variant, but only at group<=2 (the 16-head unroll exceeds the 16 MB
+    VMEM scoped limit at larger groups) and within ~6% of v1, so v1
+    remains the dispatched default; this stays as the measured next step
+    for a future layout-aware SamAttention refactor."""
+    s = q_ref.shape[1]
+    dt = q_ref.dtype
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (grid_h, s), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (grid_h, s), 0)
+    expand_rows = (col // grid_w == row).astype(dt)     # (gh, s)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, s), 1)
+    xw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, s), 0)
+    expand_cols = (colw % grid_w == xw).astype(dt)      # (gw, s)
+
+    def per(g, _):
+        qf = q_ref[g]                          # (s, heads*head_dim)
+        kf = k_ref[g]
+        vf = v_ref[g]
+        rhf = rh_ref[g]                        # (s, heads*gh)
+        rwf = rw_ref[g]
+        # heads unrolled in python: the lane slices must be STATIC
+        # (dynamic lane slicing is unsupported in Mosaic); per-head
+        # stores keep at most one (s, s) logits temp live
+        for h in range(heads):
+            q = qf[:, h * head_dim:(h + 1) * head_dim]
+            k = kf[:, h * head_dim:(h + 1) * head_dim]
+            v = vf[:, h * head_dim:(h + 1) * head_dim]
+            rh = rhf[:, h * grid_h:(h + 1) * grid_h]   # (s, gh)
+            rw = rwf[:, h * grid_w:(h + 1) * grid_w]   # (s, gw)
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = logits + jnp.dot(rh, expand_rows,
+                                      preferred_element_type=jnp.float32)
+            logits = logits + jnp.dot(rw, expand_cols,
+                                      preferred_element_type=jnp.float32)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jnp.dot(p.astype(dt), v,
+                          preferred_element_type=jnp.float32)
+            o_ref[g, :, h * head_dim:(h + 1) * head_dim] = \
+                out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, per, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "num_heads", "group"))
+def grouped_window_attention_relpos_v2(q, k, v, rel_h_term, rel_w_term,
+                                       hw: Tuple[int, int],
+                                       num_heads: int, group: int = 8):
+    """q/k/v: (B, S, H*D) raw projection outputs (B = #windows).
+    rel terms as produced by `relpos_terms` ((B, H, S, gh/gw))."""
+    b, s, c = q.shape
+    gh, gw = hw
+    hd = c // num_heads
+    scale = 1.0 / math.sqrt(hd)
+    while b % group != 0:
+        group //= 2
+    # (B, H, S, g*) -> (B, S, H*g*): small tensors (g* ~ 14 vs D = 80)
+    rhf = rel_h_term.transpose(0, 2, 1, 3).reshape(b, s, num_heads * gh)
+    rwf = rel_w_term.transpose(0, 2, 1, 3).reshape(b, s, num_heads * gw)
+
+    kernel = functools.partial(_grouped_kernel_v2, scale=scale, grid_h=gh,
+                               grid_w=gw, group=group, heads=num_heads,
+                               head_dim=hd)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[
+            pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, num_heads * gh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, num_heads * gw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, rhf, rwf)
+
+
 def _xla_relpos_attention(q, k, v, rel_pos_h, rel_pos_w,
                           hw: Tuple[int, int]):
     """Reference path: materialized decomposed-rel-pos bias + softmax."""
