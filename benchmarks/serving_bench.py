@@ -1,0 +1,137 @@
+"""Online-serving benchmark: batch engine vs continuous batching.
+
+Replays a seeded Poisson arrival process of grounded-caption requests
+against both serving engines on the same model + clips and reports
+per-request latency (p50/p95) and makespan. The batch engine coalesces
+whatever arrived inside its window into one launch (late arrivals wait
+for the next full generation); the continuous engine admits requests into
+a resident decode loop between ticks.
+
+Run: python benchmarks/serving_bench.py [--model_size small] [--n 12]
+        [--mean_gap_ms 150]
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_workload(submit, clips, gaps, max_new):
+    """Fire requests with the given inter-arrival gaps; return latencies
+    (seconds, per request in arrival order) and makespan."""
+    n = len(gaps)
+    lat = [None] * n
+    errs = []
+    threads = []
+    t0 = time.time()
+
+    def fire(i):
+        ts = time.time()
+        try:
+            submit({"video_path": clips[i % len(clips)],
+                    "max_new_tokens": max_new})
+            lat[i] = time.time() - ts
+        except Exception as e:               # noqa: BLE001
+            errs.append((i, repr(e)))
+
+    for i in range(n):
+        th = threading.Thread(target=fire, args=(i,))
+        th.start()
+        threads.append(th)
+        time.sleep(gaps[i])
+    for th in threads:
+        th.join(timeout=900)
+    makespan = time.time() - t0
+    if errs:
+        raise RuntimeError(errs)
+    return np.asarray([l for l in lat if l is not None]), makespan
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_size", default="small",
+                   choices=["tiny", "small"])
+    p.add_argument("--n", default=12, type=int)
+    p.add_argument("--mean_gap_ms", default=150.0, type=float)
+    p.add_argument("--max_new", default=32, type=int)
+    p.add_argument("--slots", default=4, type=int)
+    p.add_argument("--output", default=None)
+    args = p.parse_args()
+
+    import dataclasses
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from grove_tpu.api.processor import GroveProcessor
+    from grove_tpu.config import GroveConfig
+    from grove_tpu.data.synthetic import make_synthetic_howto_dataset
+    from grove_tpu.models.grove import init_grove_params
+    from grove_tpu.serve.continuous import ContinuousService
+    from grove_tpu.serve.server import BatchingEngine
+    from grove_tpu.text.mock_tokenizer import MockTokenizer
+    from grove_tpu.text.tokenizer import special_token_ids_from
+
+    tok = MockTokenizer()
+    cfg = {"tiny": GroveConfig.tiny, "small": GroveConfig.small}[
+        args.model_size]()
+    cfg = dataclasses.replace(cfg, tokens=special_token_ids_from(tok))
+    dtype = jnp.float32 if args.model_size == "tiny" else jnp.bfloat16
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=dtype, batch=1)
+    proc = GroveProcessor(tok, cfg)
+
+    root = tempfile.mkdtemp(prefix="serving_bench_")
+    _, vdir, _ = make_synthetic_howto_dataset(root, num_videos=4)
+    clips = sorted(os.path.join(vdir, f) for f in os.listdir(vdir))
+
+    rng = np.random.default_rng(0)
+    gaps = rng.exponential(args.mean_gap_ms / 1e3, size=args.n)
+
+    report = {"model_size": args.model_size, "n_requests": args.n,
+              "mean_gap_ms": args.mean_gap_ms, "max_new": args.max_new,
+              "slots": args.slots}
+
+    for name, build in (
+            ("batch", lambda: BatchingEngine(
+                proc, model, variables, max_batch=args.slots)),
+            ("continuous", lambda: ContinuousService(
+                proc, model, variables, n_slots=args.slots,
+                max_new_tokens=args.max_new))):
+        eng = build()
+        try:
+            # pass 1 warms every compiled shape the workload hits (the
+            # batch engine compiles per group size, the continuous engine
+            # per prompt bucket); pass 2 is the steady-state measurement
+            run_workload(eng.submit, clips, gaps, args.max_new)
+            lat, makespan = run_workload(eng.submit, clips, gaps,
+                                         args.max_new)
+        finally:
+            eng.close()
+        report[name] = {
+            "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+            "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
+            "mean_ms": round(float(lat.mean()) * 1e3, 1),
+            "makespan_s": round(makespan, 2),
+            "rps": round(args.n / makespan, 2),
+        }
+        print(f"{name}: {report[name]}", flush=True)
+
+    print(json.dumps(report))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=1)
+    return report
+
+
+if __name__ == "__main__":
+    main()
