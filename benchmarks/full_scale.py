@@ -35,50 +35,9 @@ V5E_PEAK_TFLOPS = 197.0       # datasheet bf16
 MAX_NEW_TOKENS = 64
 
 
-def fetch(x):
-    return np.asarray(x)
-
-
-def timed_loop(fn, *args, iters=3, perturb=None):
-    """secs/iter with the loop inside ONE jit launch.
-
-    The loop body is chained through the carry: a numerically-negligible
-    `acc * 1e-30` perturbation of one input element makes iteration i+1
-    depend on iteration i's output, so XLA cannot hoist the (otherwise
-    loop-invariant) computation out of the `fori_loop` and run it once —
-    which it legally can with the naive pattern, and measurably does
-    (stage "TF/s" came out above the chip's peak).
-
-    `perturb`: index of the positional arg whose first float leaf gets the
-    carry folded in; default = last arg with a float leaf (the activation
-    input — everything downstream depends on it).
-    """
-    float_ok = lambda x: hasattr(x, "dtype") and jnp.issubdtype(
-        x.dtype, jnp.floating)
-    if perturb is None:
-        perturb = max(i for i, a in enumerate(args)
-                      if any(float_ok(l) for l in jax.tree.leaves(a)))
-
-    @jax.jit
-    def loop(*a):
-        def body(i, acc):
-            a2 = list(a)
-            lv, td = jax.tree_util.tree_flatten(a2[perturb])
-            j = next(k for k, x in enumerate(lv) if float_ok(x))
-            x = lv[j]
-            eps = (acc * 1e-30).astype(x.dtype)
-            lv[j] = x.reshape(-1).at[0].add(eps).reshape(x.shape)
-            a2[perturb] = jax.tree_util.tree_unflatten(td, lv)
-            out = fn(*a2)
-            leaf = next(l for l in jax.tree.leaves(out)
-                        if hasattr(l, "reshape"))
-            return acc + leaf.reshape(-1)[0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, iters, body, 0.0)
-
-    fetch(loop(*args))                    # compile + warm
-    t0 = time.time()
-    fetch(loop(*args))
-    return (time.time() - t0) / iters
+# shared carry-chained harness (see _timing.py: the naive loop-invariant
+# body gets hoisted by XLA and under-reports)
+from _timing import fetch, timed_loop  # noqa: E402
 
 
 def cost_of(fn, *args):

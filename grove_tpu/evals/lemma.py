@@ -100,7 +100,11 @@ def english_lemma(word: str) -> str:
     if w.endswith("ies") and len(w) > 4:
         return w[:-3] + "y"                    # babies -> baby
     if w.endswith("ves") and len(w) > 4:
-        return w[:-3] + "f"                    # scarves handled above
+        # default: plural of a regular -ve word (gloves -> glove,
+        # waves -> wave); the f/fe irregulars (knives, leaves, ...) are
+        # all in the table above — a blanket -ves -> -f rule would
+        # corrupt every regular -ve word
+        return w[:-1]
     for suf in SIBILANT_ES:
         if w.endswith(suf) and len(w) > len(suf) + 1:
             return w[:-2]                      # dishes -> dish

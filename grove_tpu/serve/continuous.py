@@ -125,7 +125,9 @@ class ContinuousEngine:
         model, cfg = self.model, self.cfg
         eos, pad = int(cfg.tokens.eos), int(cfg.tokens.pad)
 
-        @jax.jit
+        # state donated: without it every 1-token tick copies the whole
+        # multi-layer (n_slots x capacity) KV cache to preserve the input
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def tick(variables, state, col):
             tok = state["cur_tok"]
             hidden, logits, caches = model.apply(
@@ -176,7 +178,8 @@ class ContinuousEngine:
 
     @functools.cached_property
     def _insert_fn(self):
-        @functools.partial(jax.jit, static_argnames=("slot", "lb"))
+        @functools.partial(jax.jit, static_argnames=("slot", "lb"),
+                           donate_argnums=(0,))
         def insert(state, slab, first_tok, pad_len, img, budget, *,
                    slot: int, lb: int, col):
             """Place a prefilled (1, lb)-cache slab at columns
@@ -320,7 +323,7 @@ class ContinuousEngine:
     def _soft_reset(self):
         b = self.n_slots
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def clear(state):
             return dict(state,
                         done=jnp.ones((b,), bool),
@@ -374,6 +377,8 @@ class ContinuousService:
         self._pending: "list" = []
         self._events: Dict[int, object] = {}
         self._gen_results: Dict[int, Dict] = {}
+        self._abandoned: set = set()
+        self.max_queue = 256
         self._next_id = 0
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -388,9 +393,21 @@ class ContinuousService:
     def submit(self, payload: Dict, timeout: float = 300.0) -> Dict:
         from .server import _jsonable
 
-        unsupported = [k for k in ("temperature", "top_k", "top_p", "seed",
-                                   "num_beams", "kv_cache_dtype")
-                       if payload.get(k) not in (None, 0, 0.0, 1, 1.0)]
+        # exact semantic-default checks: anything that would CHANGE the
+        # greedy program is rejected (temperature=1.0 activates sampling!);
+        # inert knobs (seed without sampling, the default cache dtype)
+        # pass through
+        unsupported = []
+        if (payload.get("temperature") or 0.0) > 0.0:
+            unsupported.append("temperature")
+        if (payload.get("top_k") or 0) > 0:
+            unsupported.append("top_k")
+        if payload.get("top_p") is not None and payload["top_p"] < 1.0:
+            unsupported.append("top_p")
+        if (payload.get("num_beams") or 1) > 1:
+            unsupported.append("num_beams")
+        if payload.get("kv_cache_dtype") not in (None, "bf16", "bfloat16"):
+            unsupported.append("kv_cache_dtype")
         if unsupported:
             raise ValueError(
                 f"continuous batching serves greedy decode only; "
@@ -423,6 +440,9 @@ class ContinuousService:
                                    method=GroveModel.encode_grounding)
             ev = threading.Event()
             with self._lock:
+                if len(self._pending) >= self.max_queue:
+                    from .server import OverloadedError
+                    raise OverloadedError("server overloaded, retry later")
                 rid = self._next_id
                 self._next_id += 1
                 self._events[rid] = ev
@@ -432,7 +452,16 @@ class ContinuousService:
             self._wake.set()
             if not ev.wait(timeout):
                 with self._lock:
+                    # full abandonment: never admit, never keep a result
                     self._events.pop(rid, None)
+                    was_pending = any(p[0] == rid for p in self._pending)
+                    self._pending = [p for p in self._pending
+                                     if p[0] != rid]
+                    if not was_pending:
+                        # already admitted: the loop drops its result at
+                        # finish (and clears this marker)
+                        self._abandoned.add(rid)
+                    self._gen_results.pop(rid, None)
                 raise TimeoutError("continuous decode timed out")
             with self._lock:
                 res = self._gen_results.pop(rid)
@@ -452,25 +481,32 @@ class ContinuousService:
     # -- loop thread ----------------------------------------------------
 
     def _loop(self):
-        import time as _time
         while not self._stop.is_set():
             admitted = False
-            with self._lock:
-                while self._pending and self.engine.free_slots():
-                    rid, ids, ve, vstart, img, mn = self._pending[0]
-                    lb = -(-len(ids) // self.engine.bucket) \
-                        * self.engine.bucket
-                    if not self.engine.can_admit(lb):
-                        break
-                    self._pending.pop(0)
-                    try:
-                        self.engine.admit(rid, ids, ve, vstart, img,
-                                          max_new=mn)
-                        admitted = True
-                    except Exception as e:            # noqa: BLE001
-                        self._gen_results[rid] = e
+            while self.engine.free_slots():
+                # pop under the lock, PREFILL OUTSIDE it: admit() can
+                # compile for seconds on a fresh bucket length and must
+                # not block submitters/timeout cleanup
+                with self._lock:
+                    job = None
+                    if self._pending:
+                        rid, ids, ve, vstart, img, mn = self._pending[0]
+                        lb = -(-len(ids) // self.engine.bucket) \
+                            * self.engine.bucket
+                        if self.engine.can_admit(lb):
+                            job = self._pending.pop(0)
+                if job is None:
+                    break
+                rid, ids, ve, vstart, img, mn = job
+                try:
+                    self.engine.admit(rid, ids, ve, vstart, img,
+                                      max_new=mn)
+                    admitted = True
+                except Exception as e:                # noqa: BLE001
+                    with self._lock:
                         ev = self._events.pop(rid, None)
                         if ev:
+                            self._gen_results[rid] = e
                             ev.set()
             active = any(s.active for s in self.engine._slots)
             if not active and not admitted:
@@ -483,7 +519,9 @@ class ContinuousService:
                 with self._lock:
                     for rid in finished:
                         res = self.engine.pop_result(rid)
-                        self._gen_results[rid] = res
                         ev = self._events.pop(rid, None)
                         if ev:
+                            self._gen_results[rid] = res
                             ev.set()
+                        else:
+                            self._abandoned.discard(rid)  # dropped result

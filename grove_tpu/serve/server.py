@@ -204,7 +204,12 @@ class BatchingEngine:
         for k, default in _KNOB_DEFAULTS.items():
             v = payload.get(k)
             v = default if v is None else v
-            if v != default or type(v) is not type(default):
+            # JSON clients send float knobs as ints ({"top_p": 1}):
+            # coerce so they group with the float default (bools never
+            # reach here — validate_payload rejects them for these keys)
+            if isinstance(default, float) and isinstance(v, int):
+                v = float(v)
+            if v != default:
                 vals[k] = v
         if not vals.get("temperature"):
             vals.pop("seed", None)

@@ -297,11 +297,18 @@ class SpProcessor:
             start, pid = back[pos]
             segs.append((start, pos, pid))
             pos = start
+        prev_unk = False
         for start, end, pid in reversed(segs):
             if pid < 0:
-                ids.extend(self._fallback_ids(text[start:end]))
+                if self.model.byte_fallback:
+                    ids.extend(self._fallback_ids(text[start:end]))
+                elif not prev_unk:
+                    # spm merges a contiguous unknown run into ONE unk
+                    ids.append(self.model.unk_id)
+                prev_unk = True
             else:
                 ids.append(pid)
+                prev_unk = False
         return ids
 
     def _encode_bpe(self, text: str) -> List[int]:

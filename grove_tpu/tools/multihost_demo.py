@@ -74,8 +74,10 @@ def run_worker(args) -> None:
         ann_dir, video_dir, _ = make_synthetic_howto_dataset(
             root, num_videos=args.num_videos)
         build_manifest(ann_dir, manifest)
-        with open(marker, "w") as f:
+        # atomic publish: pollers must never observe a partial marker
+        with open(marker + ".tmp", "w") as f:
             f.write(f"{ann_dir}\n{video_dir}\n")
+        os.replace(marker + ".tmp", marker)
     deadline = time.time() + 120
     while not os.path.exists(marker):
         if time.time() > deadline:

@@ -180,3 +180,15 @@ def test_english_lemma_classes():
     # wired as the anet default
     from grove_tpu.evals.anet import naive_lemma
     assert naive_lemma("babies") == "baby"
+
+
+def test_lemma_regular_ve_words_not_mangled():
+    """Regression: the blanket -ves -> -f rule corrupted regular -ve
+    plurals; only the tabled f/fe irregulars map to -f."""
+    from grove_tpu.evals.lemma import english_lemma as L
+    assert L("gloves") == "glove"
+    assert L("waves") == "wave"
+    assert L("moves") == "move"
+    assert L("sleeves") == "sleeve"
+    assert L("knives") == "knife"    # irregular, from the table
+    assert L("leaves") == "leaf"

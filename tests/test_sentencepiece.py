@@ -186,3 +186,16 @@ def test_load_grove_tokenizer_from_model_file(tmp_path):
     # dir containing tokenizer.model (no HF config) also works
     tok2 = load_grove_tokenizer(str(tmp_path))
     assert tok2("the cat").input_ids == tok("the cat").input_ids
+
+
+def test_unigram_contiguous_unknown_run_merges_to_one_unk():
+    """spm merges a contiguous unknown run into a single UNK when byte
+    fallback is off (per-char unks would change token counts)."""
+    m = unigram_model()
+    m.byte_fallback = False
+    proc = SpProcessor(m)
+    ids = proc.encode("éé")
+    assert ids == [pid(m, "▁"), m.unk_id]
+    # separated runs stay separate
+    ids2 = proc.encode("été")   # t has a piece
+    assert ids2 == [pid(m, "▁"), m.unk_id, pid(m, "t"), m.unk_id]
