@@ -1,1 +1,2 @@
 from .server import BatchingEngine, GroveServer, serve  # noqa: F401
+from .continuous import ContinuousEngine, ContinuousService  # noqa: F401
