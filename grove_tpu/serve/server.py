@@ -135,11 +135,18 @@ class BatchingEngine:
     splits it into knob-groups, largest first."""
 
     def __init__(self, processor, model, variables, *, max_batch: int = 8,
-                 batch_timeout_ms: float = 10.0, max_queue: int = 256):
+                 batch_timeout_ms: float = 10.0, max_queue: int = 256,
+                 pad_batches: bool = False):
         self.processor = processor
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
+        # pad every group to max_batch by repeating the last clip (extras
+        # discarded): ONE compiled decode shape instead of one per group
+        # size. Decode is weight-read-bound, so the padded compute is
+        # nearly free; first-request latency stops paying a fresh
+        # multi-second compile per group size.
+        self.pad_batches = pad_batches
         self.batch_timeout = batch_timeout_ms / 1000.0
         # bounded: a request flood must shed load (503) at the door, not
         # accumulate on the host until the submit timeout drains it
@@ -249,11 +256,16 @@ class BatchingEngine:
                       and group[0].payload.get(k) is not None}
             paths = [p.payload["video_path"] for p in group]
             instructions = [p.payload.get("instruction") for p in group]
+            n_real = len(paths)
+            if self.pad_batches and n_real < self.max_batch:
+                pad_n = self.max_batch - n_real
+                paths = paths + [paths[-1]] * pad_n
+                instructions = instructions + [instructions[-1]] * pad_n
             if all(i is None for i in instructions):
                 instructions = None
             outs = self.processor.generate_batch(
                 self.model, self.variables, paths,
-                instructions=instructions, **kwargs)
+                instructions=instructions, **kwargs)[:n_real]
             self.batches_run += 1
             self.requests_served += len(group)
             for p, out in zip(group, outs):
@@ -335,11 +347,13 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve(processor, model, variables, *, host: str = "127.0.0.1",
           port: int = 8470, max_batch: int = 8,
-          batch_timeout_ms: float = 10.0, model_name: str = "grove_tpu"):
+          batch_timeout_ms: float = 10.0, model_name: str = "grove_tpu",
+          pad_batches: bool = False):
     """Build (server, engine); call server.serve_forever() to run."""
     engine = BatchingEngine(processor, model, variables,
                             max_batch=max_batch,
-                            batch_timeout_ms=batch_timeout_ms)
+                            batch_timeout_ms=batch_timeout_ms,
+                            pad_batches=pad_batches)
     server = GroveServer((host, port), engine, model_name)
     return server, engine
 
@@ -362,6 +376,11 @@ def main(argv: Optional[List[str]] = None):
                    help="tokenizer path (MockTokenizer if omitted)")
     p.add_argument("--max_batch", default=8, type=int)
     p.add_argument("--batch_timeout_ms", default=10.0, type=float)
+    p.add_argument("--pad_batches", action="store_true",
+                   help="pad every group to max_batch (one compiled decode "
+                        "shape; padded lanes are ~free on the HBM-bound "
+                        "decode, and new group sizes stop paying a "
+                        "multi-second first-request compile)")
     p.add_argument("--quantize_llm", action="store_true",
                    help="weight-only int8 LLM (halves LLM weight HBM; "
                         "lets the full model serve on one chip)")
@@ -401,7 +420,8 @@ def main(argv: Optional[List[str]] = None):
         server, _ = serve(proc, lm.model, lm.variables, host=args.host,
                           port=args.port, max_batch=args.max_batch,
                           batch_timeout_ms=args.batch_timeout_ms,
-                          model_name=f"grove-{args.model_size}")
+                          model_name=f"grove-{args.model_size}",
+                          pad_batches=args.pad_batches)
     print(f"serving grove-{args.model_size} on {args.host}:{args.port}")
     server.serve_forever()
 

@@ -175,6 +175,45 @@ def test_beams_with_int8_rejected(server):
     assert e.value.code == 400
 
 
+def test_pad_batches_pads_to_max_and_trims():
+    """pad_batches=True: every device launch sees exactly max_batch clips
+    (one compiled decode shape), and the padded lanes never leak into
+    client results."""
+    from grove_tpu.serve.server import BatchingEngine, _Pending
+
+    calls = []
+
+    class StubProcessor:
+        def generate_batch(self, model, variables, paths,
+                           instructions=None, **kwargs):
+            calls.append((list(paths), instructions))
+            return [{"text": f"out:{p}"} for p in paths]
+
+    engine = BatchingEngine(StubProcessor(), None, None, max_batch=4,
+                            pad_batches=True)
+    try:
+        group = [_Pending({"video_path": "a.gif"}),
+                 _Pending({"video_path": "b.gif",
+                           "instruction": "describe"})]
+        engine._run_group(group)
+        assert len(calls) == 1
+        paths, instructions = calls[0]
+        # padded to max_batch by repeating the last clip (+ instruction)
+        assert paths == ["a.gif", "b.gif", "b.gif", "b.gif"]
+        assert instructions == [None, "describe", "describe", "describe"]
+        # results trimmed back to the real requests, in order
+        assert group[0].result == {"text": "out:a.gif"}
+        assert group[1].result == {"text": "out:b.gif"}
+        assert all(p.event.is_set() for p in group)
+        # a full group is launched as-is (no padding)
+        calls.clear()
+        full = [_Pending({"video_path": f"{i}.gif"}) for i in range(4)]
+        engine._run_group(full)
+        assert len(calls[0][0]) == 4
+    finally:
+        engine.close()
+
+
 def test_quantized_model_serves(tmp_path):
     """The --quantize_llm path at the library level: a W8-quantized model
     behind the batching engine answers /generate correctly."""
