@@ -109,6 +109,15 @@ def main():
                    help="encode SAM frames in N sequential chunks "
                         "(lax.map) — halves peak activation memory at "
                         "batch 8 where all 64 frames at once OOM")
+    p.add_argument("--sam_split", default=0, type=int,
+                   help="run SAM encode as N separate device launches of "
+                        "batch/N clips each (buffers free between "
+                        "launches, unlike --sam_chunk's in-program scan "
+                        "whose whole workspace must coexist) — the "
+                        "production schedule for batches whose single-"
+                        "shot SAM OOMs beside the weights; the stage "
+                        "time is the measured wall time of all N "
+                        "launches back-to-back")
     p.add_argument("--only", default="all", choices=["all", "decode"],
                    help="'decode': skip encoder/prefill stages (isolated "
                         "decode measurement at batches whose encoder "
@@ -226,7 +235,27 @@ def main():
         # SAM first: it has the largest activation workspace, and running
         # it into a fresh heap avoids the fragmentation OOM that the
         # post-clip ordering hits at batch 8
-        s_sam = stage("sam_encode", sam_fn, params, fs)
+        if args.sam_split > 1:
+            ns = args.sam_split
+            assert b % ns == 0, (b, ns)
+            assert args.sam_chunk <= 1, "--sam_split excludes --sam_chunk"
+            fs_part = fs[:b // ns]
+            sam_jit = jax.jit(sam_fn)
+            fetch(sam_jit(params, fs_part))            # compile + warm
+            t0 = time.time()
+            outs = [sam_jit(params, fs_part) for _ in range(ns)]
+            for o in outs:                             # all launches queued
+                fetch(o)                               # before any fetch
+            s_sam = time.time() - t0
+            stages["sam_encode"] = round(s_sam * 1e3, 2)
+            roofline["sam_encode"] = {
+                "ms": round(s_sam * 1e3, 2),
+                "method": f"{ns} launches of batch {b // ns}, wall time",
+            }
+            print(f"  sam_encode ({ns}x batch {b // ns} launches): "
+                  f"{s_sam*1e3:.1f} ms", flush=True)
+        else:
+            s_sam = stage("sam_encode", sam_fn, params, fs)
         s_clip = stage(
             "clip_encode",
             lambda p, f: model.apply({"params": p}, f,

@@ -88,9 +88,8 @@ def main():
     frames = jax.jit(lambda: jnp.zeros(
         (bt, cfg.img_size, cfg.img_size, 3), jnp.bfloat16))()
     import flax.linen as nn
-    patch = nn.Conv(c, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size),
-                    dtype=jnp.bfloat16)
+    from grove_tpu.models.sam_encoder import _PatchEmbed
+    patch = _PatchEmbed(c, cfg.patch_size, dtype=jnp.bfloat16)
     pvars = jax.jit(patch.init)(rng, frames)
     timeit("patchify_ms", lambda v, f: patch.apply(v, f), pvars, frames)
 

@@ -74,10 +74,35 @@ def window_unpartition(windows, window: int, pad_hw, hw):
     return x[:, :h, :w]
 
 
+def _window_pad_mask(h: int, w: int, window: int) -> np.ndarray:
+    """(n_windows, win*win) bool: True on rows that are zero padding after
+    `window_partition` of an (h, w) grid. Static (trace-time numpy)."""
+    hp, wp = h + (-h) % window, w + (-w) % window
+    rr = np.arange(hp)[:, None] >= h           # (hp, 1)
+    cc = np.arange(wp)[None, :] >= w           # (1, wp)
+    pad = (rr | cc)                            # (hp, wp)
+    pad = pad.reshape(hp // window, window, wp // window, window)
+    return pad.transpose(0, 2, 1, 3).reshape(-1, window * window)
+
+
 class SamAttention(nn.Module):
-    """ViTDet attention over a token grid with optional rel-pos bias."""
+    """ViTDet attention over a token grid with optional rel-pos bias.
+
+    TPU layout notes (measured in `benchmarks/sam_layout_probe.py`):
+    * windowed path keeps q/k/v in the RAW (nW, S, H*D) projection layout
+      and uses the lane-sliced v2 kernel, so the (B*H, S, D) head
+      fold/unfold transposes never touch HBM — 17.4 ms/block vs 24.3 for
+      the fold-based path at SAM-H/512 shapes;
+    * qkv runs on the padded windows exactly like the reference
+      (`image_encoder.py` Block.forward) — hoisting it to the unpadded
+      grid saves 1.72x projection FLOPs but costs MORE in partition
+      transposes (measured: hoist variants 26-27 ms vs 24.3);
+    * proj runs after un-partitioning (identical per-row results, fewer
+      padded rows through the matmul).
+    """
     cfg: SamEncoderConfig
     input_size: int             # grid side this block attends over
+    window: int = 0             # 0 => global attention over the full grid
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -86,12 +111,18 @@ class SamAttention(nn.Module):
         b, h, w, c = x.shape
         nh = cfg.num_heads
         hd = c // nh
+
+        win = self.window
+        if win > 0:
+            hw = (win, win)
+            x, pad_hw = window_partition(x, win)      # (nW, win, win, C)
+            nb, s = x.shape[0], win * win
+        else:
+            hw = (h, w)
+            nb, s = b, h * w
         qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype,
-                       name="qkv")(x.reshape(b, h * w, c))
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, h * w, nh, hd)
-        k = k.reshape(b, h * w, nh, hd)
-        v = v.reshape(b, h * w, nh, hd)
+                       name="qkv")(x.reshape(nb, s, c))
+        q, k, v = jnp.split(qkv, 3, axis=-1)          # (nb, s, c) raw
 
         if cfg.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
@@ -99,14 +130,32 @@ class SamAttention(nn.Module):
             rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                                (2 * self.input_size - 1, hd), jnp.float32)
             # bias is computed from the UNSCALED q and added after the
-            # q@k scaling (`image_encoder.py:310-315`); the fused kernel
-            # streams the decomposed bias instead of materializing S x S
-            from ..ops.sam_attention import sam_attention_with_relpos
-            out = sam_attention_with_relpos(q, k, v, rel_h, rel_w, (h, w))
+            # q@k scaling (`image_encoder.py:310-315`); the fused kernels
+            # stream the decomposed bias instead of materializing S x S
+            if win > 0 and s <= 256:
+                from ..ops.sam_attention import sam_window_attention_raw
+                out = sam_window_attention_raw(q, k, v, rel_h, rel_w,
+                                               hw, nh)       # (nb, s, c)
+            else:
+                from ..ops.sam_attention import sam_attention_with_relpos
+                out = sam_attention_with_relpos(
+                    q.reshape(nb, s, nh, hd), k.reshape(nb, s, nh, hd),
+                    v.reshape(nb, s, nh, hd), rel_h, rel_w, hw)
+                out = out.reshape(nb, s, c)
         else:
-            out = multi_head_attention(q, k, v, impl="xla")
-        out = out.reshape(b, h, w, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+            out = multi_head_attention(
+                q.reshape(nb, s, nh, hd), k.reshape(nb, s, nh, hd),
+                v.reshape(nb, s, nh, hd), impl="xla")
+            out = out.reshape(nb, s, c)
+
+        if win > 0:
+            out = window_unpartition(out.reshape(nb, win, win, c),
+                                     win, pad_hw, (h, w))
+        else:
+            out = out.reshape(b, h, w, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(
+            out.reshape(b, h * w, c))
+        return out.reshape(b, h, w, c)
 
 
 class SamBlock(nn.Module):
@@ -120,21 +169,51 @@ class SamBlock(nn.Module):
         shortcut = x
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm1")(x)
-        if self.window_size > 0:
-            hw = (x.shape[1], x.shape[2])
-            x, pad_hw = window_partition(x, self.window_size)
-            x = SamAttention(cfg, input_size=self.window_size,
-                             dtype=self.dtype, name="attn")(x)
-            x = window_unpartition(x, self.window_size, pad_hw, hw)
-        else:
-            x = SamAttention(cfg, input_size=cfg.grid,
-                             dtype=self.dtype, name="attn")(x)
+        x = SamAttention(cfg,
+                         input_size=(self.window_size or cfg.grid),
+                         window=self.window_size,
+                         dtype=self.dtype, name="attn")(x)
         x = shortcut + x
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm2")(x)
         x = x + MLPBlock(int(cfg.embed_dim * cfg.mlp_ratio),
                          dtype=self.dtype, name="mlp")(h)
         return x
+
+
+class _PatchEmbed(nn.Module):
+    """Non-overlapping patchify as contiguous reshapes + one einsum.
+
+    Numerically the stride=kernel `nn.Conv` the reference uses
+    (`image_encoder.py` PatchEmbed), but expressed without ever
+    transposing the 3-wide channel lane dim: the input reshapes (no data
+    movement) to (B, gh, p, gw, p*cin) and the kernel-row axis is
+    contracted by the einsum — XLA lowers it to p accumulated
+    (M, p*cin) x (p*cin, C) dots on the MXU. The direct NHWC conv
+    lowering spends 19.5 ms at SAM-H/512x32-frame shapes for ~0.3 ms of
+    FLOPs; this form measures 6.7 ms (benchmarks/sam_layout_probe.py).
+    Param tree matches nn.Conv ({kernel: (p, p, in, out), bias}), so
+    checkpoints convert unchanged.
+    """
+    features: int
+    patch: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3) with H, W multiples of patch
+        b, hh, ww, cin = x.shape
+        p = self.patch
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        gh, gw = hh // p, ww // p
+        x = x.reshape(b, gh, p, gw, p * cin)     # (b, gh, dh, gw, dw*cin)
+        out = jnp.einsum("bgdwk,dkc->bgwc", x,
+                         kernel.reshape(p, p * cin, self.features))
+        return out + bias
 
 
 class SamImageEncoder(nn.Module):
@@ -151,9 +230,8 @@ class SamImageEncoder(nn.Module):
         cfg = self.cfg
         b, t, hh, ww, _ = frames.shape
         x = frames.reshape(b * t, hh, ww, 3).astype(self.dtype)
-        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size),
-                    dtype=self.dtype, name="patch_embed")(x)  # (B*T, g, g, C)
+        x = _PatchEmbed(cfg.embed_dim, cfg.patch_size,
+                        dtype=self.dtype, name="patch_embed")(x)  # (B*T,g,g,C)
 
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (cfg.grid, cfg.grid, cfg.embed_dim), jnp.float32)

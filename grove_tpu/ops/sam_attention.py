@@ -335,6 +335,62 @@ def grouped_window_attention_relpos_v2(q, k, v, rel_h_term, rel_w_term,
     )(q, k, v, rhf, rwf)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def sam_window_attention_raw(q, k, v, rel_pos_h, rel_pos_w,
+                             hw: Tuple[int, int], num_heads: int):
+    """Windowed SAM attention on RAW projection layout.
+
+    q/k/v: (nW, S, H*D) straight from the qkv split — heads are NOT
+    folded into the batch dim. The v2 kernel splits heads by static lane
+    slices in VMEM, so the (B*H, S, D) fold/unfold transposes (~4.5 ms of
+    HBM churn per SAM-H block, measured) never reach HBM. Fastest
+    windowed variant on chip: 17.4 ms/block vs 24.3 for the fold-based
+    path (benchmarks/sam_layout_probe.py).
+
+    Backward delegates to the fused flash fwd+bwd kernels in head layout
+    (recompute-forward, remat style), with grads reshaped back to raw.
+    """
+    return _window_raw_fwd_impl(q, k, v, rel_pos_h, rel_pos_w, hw,
+                                num_heads)
+
+
+def _window_raw_fwd_impl(q, k, v, rel_pos_h, rel_pos_w, hw, num_heads):
+    b, s, c = q.shape
+    hd = c // num_heads
+    # head-split VIEW for the small rel-term einsum (trailing-dim reshape,
+    # no data movement); the big q/k/v tensors stay raw
+    rh, rw = relpos_terms(q.reshape(b, s, num_heads, hd),
+                          rel_pos_h, rel_pos_w, hw)
+    return grouped_window_attention_relpos_v2(q, k, v, rh, rw, hw,
+                                              num_heads, group=2)
+
+
+def _window_raw_fwd(q, k, v, rel_pos_h, rel_pos_w, hw, num_heads):
+    return (_window_raw_fwd_impl(q, k, v, rel_pos_h, rel_pos_w, hw,
+                                 num_heads),
+            (q, k, v, rel_pos_h, rel_pos_w))
+
+
+def _window_raw_bwd(hw, num_heads, res, g):
+    from .sam_attention_bwd import relpos_flash_attention
+    q, k, v, rel_pos_h, rel_pos_w = res
+    b, s, c = q.shape
+    hd = c // num_heads
+
+    def head_layout(x):
+        return x.reshape(b, s, num_heads, hd)
+
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, rh_, rw_: relpos_flash_attention(
+            head_layout(q_), head_layout(k_), head_layout(v_),
+            rh_, rw_, hw).reshape(b, s, c),
+        q, k, v, rel_pos_h, rel_pos_w)
+    return vjp(g)
+
+
+sam_window_attention_raw.defvjp(_window_raw_fwd, _window_raw_bwd)
+
+
 def _xla_relpos_attention(q, k, v, rel_pos_h, rel_pos_w,
                           hw: Tuple[int, int]):
     """Reference path: materialized decomposed-rel-pos bias + softmax."""

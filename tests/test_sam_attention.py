@@ -145,3 +145,41 @@ def test_grouped_v2_layout_preserving_matches_xla(rng):
         flat(q4), flat(k4), flat(v4), rh, rw, hw, num_heads=4, group=3)
     got = np.asarray(got).reshape(want.shape[0], want.shape[1], 4, d)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_raw_layout_window_attention_matches_and_grads(rng):
+    """sam_window_attention_raw (v2 lane-sliced kernel, raw (nW, S, H*D)
+    layout) == the XLA bias-materializing path, forward and backward."""
+    from grove_tpu.ops.sam_attention import sam_window_attention_raw
+
+    q, k, v, rel_h, rel_w, hw = _setup(rng, b=3, gh=14, gw=14, nh=2, d=8)
+    b, s, nh, d = q.shape
+    c = nh * d
+    qr, kr, vr = (t.reshape(b, s, c) for t in (q, k, v))
+
+    got = np.asarray(sam_window_attention_raw(qr, kr, vr, rel_h, rel_w,
+                                              hw, nh))
+    bias = decomposed_rel_pos_bias(q, rel_h, rel_w, hw)
+    want = np.asarray(xla_attention(q, k, v, bias=bias,
+                                    scale=1.0 / math.sqrt(d))
+                      ).reshape(b, s, c)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def loss_raw(qr, kr, vr, rh, rw):
+        out = sam_window_attention_raw(qr, kr, vr, rh, rw, hw, nh)
+        return jnp.sum(out * out)
+
+    def loss_ref(qr, kr, vr, rh, rw):
+        qh, kh, vh = (t.reshape(b, s, nh, d) for t in (qr, kr, vr))
+        bias = decomposed_rel_pos_bias(qh, rh, rw, hw)
+        out = xla_attention(qh, kh, vh, bias=bias,
+                            scale=1.0 / math.sqrt(d)).reshape(b, s, c)
+        return jnp.sum(out * out)
+
+    g_raw = jax.grad(loss_raw, argnums=(0, 1, 2, 3, 4))(qr, kr, vr,
+                                                        rel_h, rel_w)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(qr, kr, vr,
+                                                        rel_h, rel_w)
+    for a, bb in zip(g_raw, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=5e-3, atol=5e-4)
