@@ -72,6 +72,18 @@ def main():
                                                   nh, group=1)
     timeit("global_v2_raw_ms", v2_global, qr, rel)
 
+    # v1 grouped kernel at S=1024: folded (B*H, S, D) layout, one full-S
+    # softmax per cell — kills the flash path's 4x kv re-read and 2048->512
+    # cells; VMEM ~9 MB at group=1
+    from grove_tpu.ops.sam_attention import grouped_window_attention_relpos
+
+    for grp in (1, 2, 4):
+        def v1_global(a, r, grp=grp):
+            rh, rw = relpos_terms(a, r, r, (g, g))
+            return grouped_window_attention_relpos(a, a, a, rh, rw, (g, g),
+                                                   group=grp)
+        timeit(f"global_v1_g{grp}_ms", v1_global, q, rel)
+
     # Conv3d adapter: XLA conv vs sum-of-shifted-matmuls
     import flax.linen as nn
     b5 = (bt // 8, 8, g, g, c)

@@ -116,10 +116,51 @@ class SpatioTemporalConvAdapter(nn.Module):
     def __call__(self, x):  # (b, t, h, w, c)
         c = x.shape[-1]
         alpha = self.param("alpha", nn.initializers.zeros, (1,), jnp.float32)
-        y = nn.Conv(c, self.kernel, padding="SAME", dtype=self.dtype,
-                    name="conv3d")(x)
+        y = _Conv3dShifts(c, self.kernel, dtype=self.dtype,
+                          name="conv3d")(x)
         y = nn.relu(y)
         return (jnp.tanh(alpha).astype(x.dtype) * y + x).astype(x.dtype)
+
+
+class _Conv3dShifts(nn.Module):
+    """SAME-padded dense Conv3d as a sum of shifted (N, C) x (C, C) dots.
+
+    The XLA Conv3d lowering of the 3x3x3 C->C adapter conv measures
+    25.7 ms at SAM-H/32-frame shapes vs 21.9 for accumulating one matmul
+    per kernel tap over shifted slices (benchmarks/sam_global_probe.py) —
+    each tap is a full-width MXU dot and the f32 accumulator replaces the
+    conv's im2col layout work. Param tree, initializers, and the RNG fold
+    path match nn.Conv ({kernel: (kt, kh, kw, in, out), bias}), so
+    checkpoints convert unchanged.
+    """
+    features: int
+    kernel: Tuple[int, int, int]
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):  # (b, t, h, w, c)
+        cin = x.shape[-1]
+        kt, kh, kw = self.kernel
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kt, kh, kw, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        b, t, hh, ww, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (kt // 2, kt - 1 - kt // 2),
+                         (kh // 2, kh - 1 - kh // 2),
+                         (kw // 2, kw - 1 - kw // 2), (0, 0)))
+        out = jnp.zeros((b, t, hh, ww, self.features), jnp.float32)
+        for dt_ in range(kt):
+            for dh in range(kh):
+                for dw in range(kw):
+                    sl = jax.lax.dynamic_slice(
+                        xp, (0, dt_, dh, dw, 0), (b, t, hh, ww, cin))
+                    out = out + jnp.einsum(
+                        "bthwc,cd->bthwd", sl, kernel[dt_, dh, dw],
+                        preferred_element_type=jnp.float32)
+        return out.astype(x.dtype) + bias
 
 
 def adaptive_avg_pool_1d(x: jax.Array, out_size: int, axis: int) -> jax.Array:

@@ -449,7 +449,11 @@ _fused_with_vjp.defvjp(_fused_fwd, _fused_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _grouped_with_vjp(q, k, v, rel_pos_h, rel_pos_w, hw):
     rh, rw = relpos_terms(q, rel_pos_h, rel_pos_w, hw)
-    return grouped_window_attention_relpos(q, k, v, rh, rw, hw)
+    # group caps VMEM: 16 window-heads of S<=256 fit; at the S=1024 global
+    # shape only ~4 do (group 8 fails to compile; measured 10.9 ms at
+    # group 4 vs 12.2+ for the flash path — benchmarks/sam_global_probe.py)
+    group = 16 if q.shape[1] <= 256 else 4
+    return grouped_window_attention_relpos(q, k, v, rh, rw, hw, group=group)
 
 
 def _grouped_fwd(q, k, v, rel_pos_h, rel_pos_w, hw):
@@ -489,7 +493,10 @@ def sam_attention_with_relpos(q, k, v, rel_pos_h, rel_pos_w,
                   (impl == "auto" and jax.default_backend() == "tpu"
                    and conforming))
     if use_pallas:
-        if s <= 256:
+        if s <= 1024:
+            # one full-S softmax per cell: kv read once, far fewer grid
+            # cells than the flash path (whose (B*H, S/bq) grid is mostly
+            # per-cell overhead at these sizes)
             return _grouped_with_vjp(q, k, v, rel_pos_h, rel_pos_w, hw)
         # fully fused: flash forward + flash backward (incl. rel-table
         # gradients) — see ops/sam_attention_bwd.py
