@@ -1,20 +1,28 @@
 """Shared timing harness for the axon-relay TPU environment.
 
-Rules (verified rounds 1-2, each by measurement):
-- per-launch overhead is ~27 ms and eager dispatch is pathological, so
-  iteration loops must live INSIDE one jit;
-- completion must be forced by fetching a scalar (block_until_ready
-  under-reports through the relay);
-- the loop body must be chained through the carry — a body that does not
-  depend on the loop index/carry is loop-invariant, and XLA hoists it out
-  and runs it ONCE (observed: stage TF/s above the chip peak);
-- the launch overhead does NOT amortize at small iteration counts: at
-  iters=5 it adds ~5.4 ms/iter to every number (observed: a 0.87 ms
-  4096^3 matmul "measuring" 6.2 ms). `timed_loop` therefore times the
-  SAME compiled loop at two iteration counts and returns the slope,
-  which cancels every per-launch fixed cost. The loop bound is a traced
-  scalar so both points share one executable.
-- scalar chaining must use multi-index reads/updates, not reshape(-1):
+Every rule below was learned by catching a wrong number (rounds 1-2):
+
+- Per-launch overhead is ~27 ms and eager dispatch is pathological, so
+  iteration loops must live INSIDE one jit, and the launch overhead does
+  NOT amortize at small iteration counts (a 0.87 ms 4096^3 matmul "read"
+  6.2 ms at iters=5). `timed_loop` times the SAME compiled loop (traced
+  iteration bound, one executable) at two counts and returns the slope,
+  cancelling every per-launch fixed cost.
+- Completion must be forced by fetching a scalar; block_until_ready
+  under-reports through the relay.
+- The body must depend on the carry in EVERY input, or XLA hoists the
+  loop-invariant subgraphs and runs them once (observed: stage TF/s
+  above chip peak; observed subtler: perturbing only `v` of an attention
+  probe lets QK^T+softmax hoist, halving apparent cost). We fold the
+  carry into the smallest float leaf of EVERY argument — the one-element
+  update copies that leaf per iteration, so the smallest leaf keeps the
+  copy negligible while norm-scale-sized leaves still gate all compute.
+- The carry must consume EVERY output leaf, or XLA dead-code-eliminates
+  what the fetched scalar doesn't need — including pushing the slice
+  through batch dims of dot_general (observed: an 8-batch 4096^3 einsum
+  "ran" at 1186 TF/s because only batch element 0 was computed). Full
+  per-leaf reductions (fused into producers by XLA) keep all work live.
+- Scalar chaining must use multi-index reads/updates, not reshape(-1):
   a flat reshape forces a full re-tiling copy (~6 ms on 38 MB, measured).
 """
 
@@ -33,33 +41,44 @@ def _float_ok(x):
     return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
 
 
+def _numeric(x):
+    return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.number)
+
+
 def timed_loop(fn, *args, iters=3, perturb=None, extra=20):
     """secs/iter by two-point slope: (t[iters+extra] - t[iters]) / extra.
 
-    `perturb` = arg index whose first float leaf gets the carry folded in
-    (default: last arg with a float leaf). `extra` sets the slope
-    baseline; larger = less launch-jitter sensitivity, more wall time.
+    `perturb`: None = smallest float leaf of every arg (default; defeats
+    per-input hoisting); an int = that arg only (legacy single-arg mode,
+    for callers that need other args bitwise-untouched).
     """
     if perturb is None:
-        perturb = max(i for i, a in enumerate(args)
-                      if any(_float_ok(l) for l in jax.tree.leaves(a)))
+        pert_args = [i for i, a in enumerate(args)
+                     if any(_float_ok(l) for l in jax.tree.leaves(a))]
+    else:
+        pert_args = [perturb]
 
     @jax.jit
     def loop(n, *a):
         def body(i, acc):
             a2 = list(a)
-            lv, td = jax.tree_util.tree_flatten(a2[perturb])
-            j = next(k for k, x in enumerate(lv) if _float_ok(x))
-            x = lv[j]
-            eps = (acc * 1e-30).astype(x.dtype)
-            lv[j] = x.at[(0,) * x.ndim].add(eps)
-            a2[perturb] = jax.tree_util.tree_unflatten(td, lv)
+            eps32 = acc * 1e-30
+            for pi in pert_args:
+                lv, td = jax.tree_util.tree_flatten(a2[pi])
+                fl = [k for k, x in enumerate(lv) if _float_ok(x)]
+                j = min(fl, key=lambda k: lv[k].size)
+                x = lv[j]
+                lv[j] = x.at[(0,) * x.ndim].add(eps32.astype(x.dtype))
+                a2[pi] = jax.tree_util.tree_unflatten(td, lv)
             out = fn(*a2)
-            leaf = next(l for l in jax.tree.leaves(out)
-                        if hasattr(l, "reshape"))
-            return acc + leaf[(0,) * leaf.ndim].astype(jnp.float32)
-        return jax.lax.fori_loop(0, n, body, 0.0,
-                                 unroll=False)
+            tot = eps32 * 0.0
+            for leaf in jax.tree.leaves(out):
+                if _numeric(leaf):
+                    tot = tot + jnp.sum(leaf, dtype=jnp.float32)
+            # masked/NEG_INF outputs can sum to inf; keep the carry finite
+            return acc + jnp.nan_to_num(tot * 1e-12, posinf=1.0,
+                                        neginf=-1.0)
+        return jax.lax.fori_loop(0, n, body, 0.0)
 
     lo, hi = iters, iters + extra
     fetch(loop(hi, *args))                # compile + warm

@@ -70,20 +70,29 @@ def measure_peaks(iters=8):
     # Bandwidth probe: an index-dependent slice start defeats loop hoisting
     # WITHOUT the full-buffer copy a carry perturbation would cost (the
     # perturbed-input pattern halves apparent BW on a pure-read kernel).
+    # Slope-timed (traced bound, two iteration counts) to cancel the ~27 ms
+    # relay launch overhead — see _timing.py.
     big = jax.jit(lambda: jnp.ones((1024, 1024, 1024), jnp.bfloat16))()
     rows = big.shape[0] - 1
 
     @jax.jit
-    def bw_loop(x):
+    def bw_loop(n, x):
         def body(i, acc):
             sl = jax.lax.dynamic_slice_in_dim(x, i % 2, rows, axis=0)
             return acc + jnp.sum(sl, dtype=jnp.float32)
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+        return jax.lax.fori_loop(0, n, body, 0.0)
 
-    fetch(bw_loop(big))
+    lo, hi = 2, 2 + iters
+    fetch(bw_loop(hi, big))
     t0 = time.time()
-    fetch(bw_loop(big))
-    secs_r = (time.time() - t0) / iters
+    fetch(bw_loop(lo, big))
+    t_lo = time.time() - t0
+    t0 = time.time()
+    fetch(bw_loop(hi, big))
+    t_hi = time.time() - t0
+    secs_r = (t_hi - t_lo) / (hi - lo)
+    if secs_r <= 0:
+        secs_r = t_hi / hi
     peak_gbs = big.nbytes * (rows / big.shape[0]) / secs_r / 1e9
     del big
     return peak_tf, peak_gbs
@@ -294,14 +303,22 @@ def main():
 
     n_dec = args.decode_iters
 
+    # slope-timed (traced step count) to cancel the relay launch overhead
     @jax.jit
-    def decode_bench(p, tk, cc):
-        return decode_chain(p, tk, cc, n_dec)
+    def decode_bench(p, tk, cc, n):
+        return decode_chain(p, tk, cc, n)
 
-    fetch(decode_bench(params, tok0, caches))
+    lo, hi = 4, 4 + n_dec
+    fetch(decode_bench(params, tok0, caches, hi))
     t0 = time.time()
-    fetch(decode_bench(params, tok0, caches))
-    s_decode_step = (time.time() - t0) / n_dec
+    fetch(decode_bench(params, tok0, caches, lo))
+    t_lo = time.time() - t0
+    t0 = time.time()
+    fetch(decode_bench(params, tok0, caches, hi))
+    t_hi = time.time() - t0
+    s_decode_step = (t_hi - t_lo) / n_dec
+    if s_decode_step <= 0:
+        s_decode_step = t_hi / hi
     stages["decode_step"] = round(s_decode_step * 1e3, 2)
     dec_flops, dec_bytes = cost_of(
         lambda p, tk, cc: model.apply({"params": p}, tk, L, cc,

@@ -201,6 +201,125 @@ def _block_for(s: int) -> Optional[int]:
     return None
 
 
+# ---------------------------------------------------------------------------
+# Grouped plain attention (non-causal self-attention, e.g. vision towers)
+# ---------------------------------------------------------------------------
+#
+# The XLA path materializes the (B, H, Sq, Sk) f32 logits in HBM — at
+# CLIP-L/336 full-scale shapes (32 imgs x 16 heads x 577^2) that is ~680 MB
+# of traffic per layer. The flash kernel requires block-aligned S and
+# d % 128 == 0. This kernel handles the ragged case: pad S to a sublane
+# multiple, fold heads, one full-S softmax per grid cell with G heads per
+# cell, padded keys masked by a static kv_len comparison. Logits never
+# leave VMEM. Slope-timed fairly (all inputs carry-perturbed, output fully
+# consumed — see benchmarks/_timing.py): 1.6 ms vs XLA's 2.46 ms at the
+# CLIP shape (32, 577, 16, 64) on one v5e core.
+
+
+def _grouped_plain_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                          group: int, kv_len: int):
+    s_pad = q_ref.shape[1]
+    dt = q_ref.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    kmask = col < kv_len
+
+    def per(g, _):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(kmask, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[g] = jnp.dot(p.astype(dt), v,
+                           preferred_element_type=jnp.float32
+                           ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, per, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "group"))
+def grouped_plain_attention(q, k, v, *, scale: Optional[float] = None,
+                            group: int = 8) -> jax.Array:
+    """Non-causal self-attention, (B, S, H, D) -> (B, S, H, D), S == Sk.
+
+    Handles S that is neither block-aligned nor 128-multiple (CLIP's 577).
+    VMEM per cell ~ 8*group*S*D + 12*S^2 bytes; callers should keep
+    group * S * D and S^2 modest (the auto dispatcher does).
+    """
+    b, s, h, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    s_pad = s + (-s) % 8
+    pad = s_pad - s
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    n = b * h
+    while n % group != 0:
+        group //= 2
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(n, s_pad, d)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    kernel = functools.partial(_grouped_plain_kernel, scale=scale,
+                               group=group, kv_len=s)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // group,),
+        in_specs=[
+            pl.BlockSpec((group, s_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, s_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, s_pad, d), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qf, kf, vf)
+    out = out.reshape(b, h, s_pad, d).transpose(0, 2, 1, 3)
+    return out[:, :s]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _grouped_plain_with_vjp(q, k, v, scale):
+    return grouped_plain_attention(q, k, v, scale=scale)
+
+
+def _grouped_plain_fwd(q, k, v, scale):
+    return grouped_plain_attention(q, k, v, scale=scale), (q, k, v)
+
+
+def _grouped_plain_bwd(scale, res, g):
+    # recompute-forward through the XLA path (identical math)
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xla_attention(q_, k_, v_, causal=False,
+                                         scale=scale), q, k, v)
+    return vjp(g)
+
+
+_grouped_plain_with_vjp.defvjp(_grouped_plain_fwd, _grouped_plain_bwd)
+
+
+def _grouped_plain_ok(q, k) -> bool:
+    """VMEM-conservative eligibility for the grouped plain kernel."""
+    b, s, h, d = q.shape
+    s_pad = s + (-s) % 8
+    return (k.shape[1] == s and d % 8 == 0
+            # logits + p (f32) plus 4 blocks at group>=1 within ~12 MB
+            and 12 * s_pad * s_pad + 8 * 2 * s_pad * d <= 12 * 2 ** 20)
+
+
 def multi_head_attention(q, k, v, *, causal: bool = False,
                          bias: Optional[jax.Array] = None,
                          mask: Optional[jax.Array] = None,
@@ -211,7 +330,17 @@ def multi_head_attention(q, k, v, *, causal: bool = False,
         on_tpu = jax.default_backend() == "tpu"
         simple = bias is None and mask is None
         big = q.shape[1] >= 128 and q.shape[-1] % 128 == 0
-        impl = "pallas" if (on_tpu and simple and big) else "xla"
+        if (on_tpu and simple and not causal and q.shape[1] >= 128
+                and _grouped_plain_ok(q, k)):
+            # ragged/short-head self-attention (CLIP's S=577, D=64): the
+            # grouped kernel keeps logits in VMEM where the XLA path
+            # streams (B, H, S, S) f32 through HBM
+            impl = "grouped"
+        else:
+            impl = "pallas" if (on_tpu and simple and big) else "xla"
+    if impl == "grouped":
+        s = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+        return _grouped_plain_with_vjp(q, k, v, s)
     if impl == "pallas":
         block = _block_for(q.shape[1])
         if block is not None and q.shape[1] == k.shape[1]:

@@ -73,3 +73,29 @@ def test_mha_bias_and_mask(rng):
     v2 = v.at[:, -1].add(100.0)
     out2 = multi_head_attention(q, k, v2, bias=bias, mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-5)
+
+
+def test_grouped_plain_matches_xla_ragged(rng):
+    """Grouped full-softmax kernel == XLA on a ragged (non-8-multiple) S:
+    padded keys masked, padded query rows sliced off, grads match."""
+    from grove_tpu.ops.attention import (_grouped_plain_with_vjp,
+                                         grouped_plain_attention)
+
+    q, k, v = _rand_qkv(rng, 2, 37, 4, 16)
+    want = np.asarray(xla_attention(q, k, v))
+    got = np.asarray(grouped_plain_attention(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    scale = 1.0 / np.sqrt(16)
+
+    def loss_g(q, k, v):
+        return jnp.sum(_grouped_plain_with_vjp(q, k, v, scale) ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, scale=scale) ** 2)
+
+    g1 = jax.grad(loss_g, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
