@@ -56,15 +56,16 @@ def cost_of(fn, *args):
 def measure_peaks(iters=8):
     """Measured ceilings for the roofline: big bf16 matmul TF/s and a
     big-array reduction GB/s."""
-    # batched 8 x 4096^3 (1.1 TFLOP/iter): a single 4096^3 is small enough
-    # that loop/launch slack dominates and the probe under-reads the MXU
-    # (full-scale prefill measured 4x this probe's number before the fix)
-    n, g = 4096, 8
-    a = jax.jit(lambda: jnp.ones((g, n, n), jnp.bfloat16))()
-    bm = jax.jit(lambda: jnp.ones((g, n, n), jnp.bfloat16))()
-    secs = timed_loop(lambda x, y: jnp.einsum("gij,gjk->gik", x, y),
-                      a, bm, iters=iters)
-    peak_tf = 2 * g * n ** 3 / secs / 1e12
+    # one 8192^3 matmul (1.1 TFLOP/iter). The earlier batched-einsum form
+    # existed to amortize launch slack; slope timing in timed_loop now
+    # cancels that, and the batched form invited batch-dim DCE (see
+    # _timing.py). Random inputs; jnp.ones invites constant folding.
+    n = 8192
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (n, n), jnp.bfloat16)
+    bm = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+    secs = timed_loop(lambda x, y: jnp.dot(x, y), a, bm, iters=iters)
+    peak_tf = 2 * n ** 3 / secs / 1e12
 
     # 2 GiB fill, jitted (eager dispatch through the relay is pathological).
     # Bandwidth probe: an index-dependent slice start defeats loop hoisting
@@ -254,7 +255,10 @@ def main():
             t0 = time.time()
             outs = [sam_jit(params, fs_part) for _ in range(ns)]
             for o in outs:                             # all launches queued
-                fetch(o)                               # before any fetch
+                # force completion via a scalar: fetching the full 67 MB
+                # embedding pays ~65 ms of relay transfer per launch that
+                # production (embeddings stay on device) never pays
+                fetch(o[(0,) * o.ndim])
             s_sam = time.time() - t0
             stages["sam_encode"] = round(s_sam * 1e3, 2)
             roofline["sam_encode"] = {
