@@ -236,6 +236,98 @@ def grouped_window_attention_relpos(q, k, v, rel_h_term, rel_w_term,
     return out.reshape(b, nh, s, d).transpose(0, 2, 1, 3)
 
 
+def _folded_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                   scale: float, grid_h: int, grid_w: int, group: int):
+    """Bias-folded variant: the decomposed rel-pos bias rides INSIDE the
+    QK contraction instead of being two extra K=14 dots + two full-logits
+    VPU adds per head (the v1 kernel above).
+
+        [q*scale | rel_h_term | rel_w_term] @ [k | 1h(r//gw) | 1h(r%gw)]^T
+      = scale*qk^T + rel_h_term[q, k//gw] + rel_w_term[q, k%gw]
+
+    exactly, because the one-hot blocks select the bias columns. One
+    (S, D+gh+gw) x (D+gh+gw, S) dot per window-head replaces three dots
+    and two (S, S) adds; D=80 -> K=108 also sits closer to the MXU's
+    128-lane contraction.
+
+    Measured at the SAM-H windowed shape (288x196x16x80, bf16,
+    benchmarks/sam_folded_probe.py): 6.5-7.1 ms vs the grouped v1
+    kernel's 7.7 — folding wins in this head-folded layout, but the
+    raw-layout v2 path (4.0 ms, no fold transposes) beats both, so this
+    stays a documented experiment, not a dispatch target."""
+    s = q_ref.shape[1]
+    dt = q_ref.dtype
+    row = jax.lax.broadcasted_iota(jnp.int32, (s, grid_h), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, grid_h), 1)
+    oh_h = (row // grid_w == col).astype(dt)            # (s, gh)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (s, grid_w), 0)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (s, grid_w), 1)
+    oh_w = (roww % grid_w == colw).astype(dt)           # (s, gw)
+
+    def per(g, _):
+        qa = jnp.concatenate(
+            [q_ref[g] * jnp.asarray(scale, dt), rh_ref[g], rw_ref[g]],
+            axis=-1)                                    # (s, d+gh+gw)
+        ka = jnp.concatenate([k_ref[g], oh_h, oh_w], axis=-1)
+        logits = jax.lax.dot_general(
+            qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[g] = jnp.dot(p.astype(dt), v_ref[g],
+                           preferred_element_type=jnp.float32
+                           ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, per, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "group"))
+def folded_window_attention_relpos(q, k, v, rel_h_term, rel_w_term,
+                                   hw: Tuple[int, int], group: int = 16):
+    """Windowed/global SAM attention with the rel-pos bias folded into the
+    QK contraction (see `_folded_kernel`). Same contract as
+    `grouped_window_attention_relpos`."""
+    b, s, nh, d = q.shape
+    gh, gw = hw
+    scale = 1.0 / math.sqrt(d)
+    n = b * nh
+    while n % group != 0:
+        group //= 2
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(n, s, -1)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    rhf = rel_h_term.reshape(n, s, gh)
+    rwf = rel_w_term.reshape(n, s, gw)
+
+    kernel = functools.partial(_folded_kernel, scale=scale, grid_h=gh,
+                               grid_w=gw, group=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // group,),
+        in_specs=[
+            pl.BlockSpec((group, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, gh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, gw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, s, d), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qf, kf, vf, rhf, rwf)
+    return out.reshape(b, nh, s, d).transpose(0, 2, 1, 3)
+
+
 def _grouped_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
                        scale: float, grid_h: int, grid_w: int,
                        group: int, heads: int, head_dim: int):
@@ -311,6 +403,99 @@ def grouped_window_attention_relpos_v2(q, k, v, rel_h_term, rel_w_term,
     rwf = rel_w_term.transpose(0, 2, 1, 3).reshape(b, s, num_heads * gw)
 
     kernel = functools.partial(_grouped_kernel_v2, scale=scale, grid_h=gh,
+                               grid_w=gw, group=group, heads=num_heads,
+                               head_dim=hd)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[
+            pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, num_heads * gh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, num_heads * gw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, rhf, rwf)
+
+
+def _folded_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                      scale: float, grid_h: int, grid_w: int,
+                      group: int, heads: int, head_dim: int):
+    """Raw-layout kernel with the bias folded into the QK contraction:
+    per head, [q*scale | rh | rw] @ [k | onehot_h | onehot_w]^T replaces
+    the v2 kernel's three dots + two (S, S) adds (see `_folded_kernel`
+    for the identity). Blocks are (G, S, H*D) raw projection outputs as
+    in `_grouped_kernel_v2`.
+
+    Measured (288x196x16x80 bf16, group 2): 4.5 ms vs plain v2's 4.0 —
+    the per-head (S, 108) concat copies cost more than the two K=14 dots
+    + adds they replace, so plain v2 remains the dispatched kernel."""
+    s = q_ref.shape[1]
+    dt = q_ref.dtype
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (s, grid_h), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, grid_h), 1)
+    oh_h = (row // grid_w == col).astype(dt)            # (s, gh)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (s, grid_w), 0)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (s, grid_w), 1)
+    oh_w = (roww % grid_w == colw).astype(dt)           # (s, gw)
+
+    def per(g, _):
+        qf = q_ref[g]                          # (s, heads*head_dim)
+        kf = k_ref[g]
+        vf = v_ref[g]
+        rhf = rh_ref[g]                        # (s, heads*gh)
+        rwf = rw_ref[g]
+        for h in range(heads):
+            q = qf[:, h * head_dim:(h + 1) * head_dim]
+            k = kf[:, h * head_dim:(h + 1) * head_dim]
+            v = vf[:, h * head_dim:(h + 1) * head_dim]
+            rh = rhf[:, h * grid_h:(h + 1) * grid_h]
+            rw = rwf[:, h * grid_w:(h + 1) * grid_w]
+            qa = jnp.concatenate([q * jnp.asarray(scale, dt), rh, rw],
+                                 axis=-1)      # (s, d+gh+gw)
+            ka = jnp.concatenate([k, oh_h, oh_w], axis=-1)
+            logits = jax.lax.dot_general(
+                qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jnp.dot(p.astype(dt), v,
+                          preferred_element_type=jnp.float32)
+            o_ref[g, :, h * head_dim:(h + 1) * head_dim] = \
+                out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, per, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "num_heads", "group"))
+def folded_window_attention_relpos_v2(q, k, v, rel_h_term, rel_w_term,
+                                      hw: Tuple[int, int],
+                                      num_heads: int, group: int = 2):
+    """Raw-layout folded-bias attention. Same contract as
+    `grouped_window_attention_relpos_v2`: q/k/v (B, S, H*D), rel terms
+    (B, H, S, gh/gw)."""
+    b, s, c = q.shape
+    gh, gw = hw
+    hd = c // num_heads
+    scale = 1.0 / math.sqrt(hd)
+    while b % group != 0:
+        group //= 2
+    rhf = rel_h_term.transpose(0, 2, 1, 3).reshape(b, s, num_heads * gh)
+    rwf = rel_w_term.transpose(0, 2, 1, 3).reshape(b, s, num_heads * gw)
+
+    kernel = functools.partial(_folded_kernel_v2, scale=scale, grid_h=gh,
                                grid_w=gw, group=group, heads=num_heads,
                                head_dim=hd)
     return pl.pallas_call(

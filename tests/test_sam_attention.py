@@ -147,6 +147,30 @@ def test_grouped_v2_layout_preserving_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_folded_kernels_match_xla(rng):
+    """Bias-folded kernels ([q*scale|rh|rw] @ [k|onehot]^T) == the XLA
+    bias-materializing path, in both head-folded and raw layouts."""
+    from grove_tpu.ops.sam_attention import (
+        folded_window_attention_relpos, folded_window_attention_relpos_v2)
+    q, k, v, rel_h, rel_w, hw = _setup(rng, b=3, gh=14, gw=14, nh=4, d=8)
+    b, s, nh, d = q.shape
+    bias = decomposed_rel_pos_bias(q, rel_h, rel_w, hw)
+    want = np.asarray(xla_attention(q, k, v, bias=bias,
+                                    scale=1.0 / math.sqrt(d)))
+    rh, rw = relpos_terms(q, rel_h, rel_w, hw)
+
+    got = np.asarray(folded_window_attention_relpos(q, k, v, rh, rw, hw,
+                                                    group=4))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def flat(x):
+        return x.reshape(b, s, nh * d)
+    got2 = folded_window_attention_relpos_v2(
+        flat(q), flat(k), flat(v), rh, rw, hw, num_heads=nh, group=3)
+    got2 = np.asarray(got2).reshape(b, s, nh, d)
+    np.testing.assert_allclose(got2, want, rtol=2e-4, atol=2e-5)
+
+
 def test_raw_layout_window_attention_matches_and_grads(rng):
     """sam_window_attention_raw (v2 lane-sliced kernel, raw (nW, S, H*D)
     layout) == the XLA bias-materializing path, forward and backward."""
