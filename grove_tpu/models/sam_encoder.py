@@ -27,7 +27,18 @@ import jax.numpy as jnp
 
 from ..config import SamEncoderConfig
 from ..ops.attention import multi_head_attention
-from .layers import LayerNorm2d, MLPBlock, SpatioTemporalConvAdapter
+from .layers import (Int8Dense, LayerNorm2d, MLPBlock,
+                     SpatioTemporalConvAdapter, quant_act)
+
+
+def _dense(cfg: SamEncoderConfig, features: int, dtype, name: str):
+    """Dense factory: bf16 kernel, or int8 weights + dynamic int8
+    activations when `cfg.quant_w8a8` (serving mode; params produced by
+    `ops.quant.quantize_sam_tree`)."""
+    if cfg.quant_w8a8:
+        return Int8Dense(features, dtype=dtype, use_bias=True,
+                         act_quant=True, name=name)
+    return nn.Dense(features, use_bias=True, dtype=dtype, name=name)
 
 
 from ..ops.sam_encoder_tables import rel_pos_index as _rel_pos_index
@@ -113,15 +124,27 @@ class SamAttention(nn.Module):
         hd = c // nh
 
         win = self.window
+        sx = None
+        if cfg.quant_w8a8:
+            # quantize on the unpartitioned grid: the window partition
+            # then shuffles int8 bytes (half the bf16 traffic), and the
+            # quantize chain doesn't break the partition->matmul fusion
+            # (measured: in-window quant made the block SLOWER than bf16)
+            x, sx = quant_act(x)
         if win > 0:
             hw = (win, win)
             x, pad_hw = window_partition(x, win)      # (nW, win, win, C)
+            if sx is not None:
+                sx, _ = window_partition(sx, win)
             nb, s = x.shape[0], win * win
         else:
             hw = (h, w)
             nb, s = b, h * w
-        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype,
-                       name="qkv")(x.reshape(nb, s, c))
+        if sx is not None:
+            qkv = _dense(cfg, 3 * c, self.dtype, "qkv")(
+                x.reshape(nb, s, c), sx.reshape(nb, s, 1))
+        else:
+            qkv = _dense(cfg, 3 * c, self.dtype, "qkv")(x.reshape(nb, s, c))
         q, k, v = jnp.split(qkv, 3, axis=-1)          # (nb, s, c) raw
 
         if cfg.use_rel_pos:
@@ -153,8 +176,7 @@ class SamAttention(nn.Module):
                                      win, pad_hw, (h, w))
         else:
             out = out.reshape(b, h, w, c)
-        out = nn.Dense(c, dtype=self.dtype, name="proj")(
-            out.reshape(b, h * w, c))
+        out = _dense(cfg, c, self.dtype, "proj")(out.reshape(b, h * w, c))
         return out.reshape(b, h, w, c)
 
 
@@ -177,7 +199,8 @@ class SamBlock(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm2")(x)
         x = x + MLPBlock(int(cfg.embed_dim * cfg.mlp_ratio),
-                         dtype=self.dtype, name="mlp")(h)
+                         dtype=self.dtype, quant_w8a8=cfg.quant_w8a8,
+                         name="mlp")(h)
         return x
 
 

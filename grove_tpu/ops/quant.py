@@ -37,6 +37,23 @@ _QUANT_PATTERNS = (
     r"lm_head/lm_head$",
 )
 
+# SAM ViTDet encoder Dense kernels (W8A8 serving mode: the encoder is
+# compute-bound, so activations quantize dynamically too — see
+# `Int8Dense.act_quant`). Patchify/neck/adapters/norms stay bf16/f32.
+SAM_QUANT_PATTERNS = (
+    r"blocks_\d+/attn/(qkv|proj)$",
+    r"blocks_\d+/mlp/lin[12]$",
+)
+
+# CLIP ViT encoder Dense kernels (W8A8). NOTE: these patterns also match
+# LLaMA's layers_N/self_attn/q_proj paths — apply them to the TOWER
+# subtree only (`quantize_clip_tree(params["vision_tower"])`), never to a
+# full GroveModel tree.
+CLIP_QUANT_PATTERNS = (
+    r"layers_\d+/self_attn/(q|k|v|out)_proj$",
+    r"layers_\d+/fc[12]$",
+)
+
 
 def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(in, out) f32/bf16 -> int8 kernel + per-output-channel f32 scale."""
@@ -47,11 +64,12 @@ def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale.astype(np.float32)
 
 
-def quantize_llama_tree(params: Dict) -> Dict:
-    """Return a copy of a GroveModel param tree with the LLM Dense kernels
-    replaced by {"kernel_q": int8, "scale": f32} — the structure
-    `Int8Dense` expects. Non-matching params pass through unchanged."""
-    regexes = [re.compile(p) for p in _QUANT_PATTERNS]
+def quantize_tree(params: Dict, patterns) -> Dict:
+    """Return a copy of a param tree with Dense kernels whose path matches
+    any of `patterns` replaced by {"kernel_q": int8, "scale": f32} — the
+    structure `Int8Dense` expects. Sibling entries (bias, LoRA) pass
+    through unchanged, as do non-matching params."""
+    regexes = [re.compile(p) for p in patterns]
 
     def rec(tree, prefix=""):
         out = {}
@@ -71,6 +89,26 @@ def quantize_llama_tree(params: Dict) -> Dict:
         return out
 
     return rec(params)
+
+
+def quantize_llama_tree(params: Dict) -> Dict:
+    """LLM serving quantization (W8A16 decode path): q/k/v/o, mlp and
+    lm_head kernels -> int8 + per-output-channel scales."""
+    return quantize_tree(params, _QUANT_PATTERNS)
+
+
+def quantize_sam_tree(params: Dict) -> Dict:
+    """SAM encoder serving quantization (W8A8): qkv/proj/lin1/lin2
+    kernels -> int8; pair with `SamEncoderConfig.quant_w8a8=True` so the
+    modules also quantize activations dynamically."""
+    return quantize_tree(params, SAM_QUANT_PATTERNS)
+
+
+def quantize_clip_tree(params: Dict) -> Dict:
+    """CLIP tower serving quantization (W8A8). `params` must be the
+    tower subtree (standalone `ClipVisionTower` params or
+    `full_params["vision_tower"]`) — see CLIP_QUANT_PATTERNS."""
+    return quantize_tree(params, CLIP_QUANT_PATTERNS)
 
 
 def tree_bytes(params) -> int:
