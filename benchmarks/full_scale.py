@@ -116,6 +116,10 @@ def main():
                    help="W8A8 int8 CLIP + SAM towers (int8 weights AND "
                         "dynamic int8 activations: the towers are "
                         "compute-bound and int8 MXU dots run 2x bf16)")
+    p.add_argument("--llm_act_quant", action="store_true",
+                   help="W8A8 LLM on top of the int8 weights (dynamic "
+                        "per-token activation quant; speeds the "
+                        "compute-bound prefill, decode unchanged)")
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 KV cache (fused Pallas decode kernel): "
                         "halves cache bytes so batch 8 fits one chip")
@@ -155,7 +159,8 @@ def main():
 
     cfg = GroveConfig()
     cfg = dataclasses.replace(cfg, llama=dataclasses.replace(
-        cfg.llama, weight_quant=not args.no_quant, fused_qkv=args.fused))
+        cfg.llama, weight_quant=not args.no_quant, fused_qkv=args.fused,
+        act_quant=args.llm_act_quant))
     if args.vision_quant:
         cfg = dataclasses.replace(
             cfg,

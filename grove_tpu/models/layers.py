@@ -57,7 +57,12 @@ class Int8Dense(nn.Module):
                               (x.shape[-1], self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
-        if sx is not None or self.act_quant:
+        # act_quant applies to multi-token shapes only: a single-token
+        # (b, 1, K) decode row is HBM-bound on the (already int8) weights,
+        # so quantizing it buys nothing and costs a few extra ops
+        # (measured +0.4 ms/step at full scale)
+        want_w8a8 = self.act_quant and (x.ndim < 3 or x.shape[-2] > 1)
+        if sx is not None or want_w8a8:
             if sx is None:
                 x, sx = quant_act(x)
             # else: caller already quantized (e.g. before a layout
@@ -158,13 +163,14 @@ class SpatioTemporalConvAdapter(nn.Module):
     """
     kernel: Tuple[int, int, int] = (3, 3, 3)
     dtype: jnp.dtype = jnp.float32
+    quant_w8a8: bool = False      # int8 taps + per-tensor act scale
 
     @nn.compact
     def __call__(self, x):  # (b, t, h, w, c)
         c = x.shape[-1]
         alpha = self.param("alpha", nn.initializers.zeros, (1,), jnp.float32)
         y = _Conv3dShifts(c, self.kernel, dtype=self.dtype,
-                          name="conv3d")(x)
+                          quant_w8a8=self.quant_w8a8, name="conv3d")(x)
         y = nn.relu(y)
         return (jnp.tanh(alpha).astype(x.dtype) * y + x).astype(x.dtype)
 
@@ -183,11 +189,14 @@ class _Conv3dShifts(nn.Module):
     features: int
     kernel: Tuple[int, int, int]
     dtype: jnp.dtype
+    quant_w8a8: bool = False
 
     @nn.compact
     def __call__(self, x):  # (b, t, h, w, c)
         cin = x.shape[-1]
         kt, kh, kw = self.kernel
+        if self.quant_w8a8:
+            return self._quant_call(x, cin, kt, kh, kw)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kt, kh, kw, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
@@ -208,6 +217,35 @@ class _Conv3dShifts(nn.Module):
                         "bthwc,cd->bthwd", sl, kernel[dt_, dh, dw],
                         preferred_element_type=jnp.float32)
         return out.astype(x.dtype) + bias
+
+    def _quant_call(self, x, cin, kt, kh, kw):
+        """W8A8 taps: int8 kernel (per-output-channel scale over all
+        taps) x int8 activations with one PER-TENSOR scale — a per-token
+        scale would shift with each tap and could not factor out of the
+        27-tap accumulation, costing 27 full-size f32 multiplies."""
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (kt, kh, kw, cin, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        b, t, hh, ww, _ = x.shape
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        xp = jnp.pad(xq, ((0, 0), (kt // 2, kt - 1 - kt // 2),
+                          (kh // 2, kh - 1 - kh // 2),
+                          (kw // 2, kw - 1 - kw // 2), (0, 0)))
+        out = jnp.zeros((b, t, hh, ww, self.features), jnp.float32)
+        for dt_ in range(kt):
+            for dh in range(kh):
+                for dw in range(kw):
+                    sl = jax.lax.dynamic_slice(
+                        xp, (0, dt_, dh, dw, 0), (b, t, hh, ww, cin))
+                    out = out + jnp.einsum(
+                        "bthwc,cd->bthwd", sl, kernel_q[dt_, dh, dw],
+                        preferred_element_type=jnp.float32)
+        return ((out * sx) * scale + bias).astype(x.dtype)
 
 
 def adaptive_avg_pool_1d(x: jax.Array, out_size: int, axis: int) -> jax.Array:

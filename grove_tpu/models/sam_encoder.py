@@ -272,7 +272,8 @@ class SamImageEncoder(nn.Module):
                 g = cfg.grid
                 grid5 = x.reshape(b, t, g, g, cfg.embed_dim)
                 grid5 = SpatioTemporalConvAdapter(
-                    dtype=self.dtype, name=f"adapters_{n_adapter}")(grid5)
+                    dtype=self.dtype, quant_w8a8=cfg.quant_w8a8,
+                    name=f"adapters_{n_adapter}")(grid5)
                 x = grid5.reshape(b * t, g, g, cfg.embed_dim)
                 n_adapter += 1
 

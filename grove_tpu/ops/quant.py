@@ -43,6 +43,10 @@ _QUANT_PATTERNS = (
 SAM_QUANT_PATTERNS = (
     r"blocks_\d+/attn/(qkv|proj)$",
     r"blocks_\d+/mlp/lin[12]$",
+    # gated video adapters: 27 shifted C x C taps, int8 with a shared
+    # per-output-channel scale (`_Conv3dShifts.quant_w8a8`). Does NOT
+    # match CLIP's adapters_N/adapter/conv3d nesting.
+    r"adapters_\d+/conv3d$",
 )
 
 # CLIP ViT encoder Dense kernels (W8A8). NOTE: these patterns also match
@@ -56,11 +60,14 @@ CLIP_QUANT_PATTERNS = (
 
 
 def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """(in, out) f32/bf16 -> int8 kernel + per-output-channel f32 scale."""
+    """(..., in, out) f32/bf16 -> int8 kernel + per-output-channel f32
+    scale (max over every non-output axis — conv taps share channel
+    scales so the activation scale factors out of tap accumulation)."""
     k = np.asarray(kernel, np.float32)
-    scale = np.max(np.abs(k), axis=0) / 127.0
+    flat = k.reshape(-1, k.shape[-1])
+    scale = np.max(np.abs(flat), axis=0) / 127.0
     scale = np.maximum(scale, 1e-12)
-    q = np.clip(np.round(k / scale[None, :]), -127, 127).astype(np.int8)
+    q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
     return q, scale.astype(np.float32)
 
 

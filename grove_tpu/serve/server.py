@@ -384,6 +384,10 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--quantize_llm", action="store_true",
                    help="weight-only int8 LLM (halves LLM weight HBM; "
                         "lets the full model serve on one chip)")
+    p.add_argument("--quantize_vision", action="store_true",
+                   help="W8A8 int8 CLIP + SAM towers on top of "
+                        "--quantize_llm (int8 MXU dots run 2x bf16 on "
+                        "the compute-bound encode stages)")
     p.add_argument("--fused_qkv", action="store_true",
                    help="fuse qkv/gate_up projections (bit-identical; "
                         "fewer wider matmuls per decode step)")
@@ -405,8 +409,8 @@ def main(argv: Optional[List[str]] = None):
     lm = GroveForCausalLM.from_pretrained(args.version,
                                           model_size=args.model_size,
                                           tokenizer=tok)
-    if args.quantize_llm:
-        lm = lm.quantize()
+    if args.quantize_llm or args.quantize_vision:
+        lm = lm.quantize(vision=args.quantize_vision)
     if args.fused_qkv:
         lm = lm.fuse()
     proc = GroveProcessor(tok, lm.cfg)

@@ -139,6 +139,33 @@ def test_api_quantize_vision(rng):
     assert "embedding" in pq["embed_tokens"]
 
 
+def test_conv3d_adapter_quant_close(rng):
+    """int8 shifted-tap Conv3d (per-tensor act scale, shared per-channel
+    kernel scale) stays close to the float conv."""
+    from grove_tpu.models.layers import SpatioTemporalConvAdapter
+    from grove_tpu.ops.quant import quantize_kernel
+
+    x = jnp.asarray(rng.normal(size=(1, 2, 4, 4, 8)).astype(np.float32))
+    mod = SpatioTemporalConvAdapter(dtype=jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    params = jax.tree.map(
+        lambda a: a + 0.1 * jnp.asarray(
+            np.random.default_rng(4).normal(size=a.shape), a.dtype),
+        variables["params"])
+    want = np.asarray(mod.apply({"params": params}, x))
+
+    kq, ks = quantize_kernel(np.asarray(params["conv3d"]["kernel"]))
+    assert kq.shape == params["conv3d"]["kernel"].shape
+    qparams = {"alpha": params["alpha"],
+               "conv3d": {"kernel_q": jnp.asarray(kq),
+                          "scale": jnp.asarray(ks),
+                          "bias": params["conv3d"]["bias"]}}
+    qmod = SpatioTemporalConvAdapter(dtype=jnp.float32, quant_w8a8=True)
+    got = np.asarray(qmod.apply({"params": qparams}, x))
+    rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-9)
+    assert rel < 0.03, rel
+
+
 def test_llama_act_quant_forward_close(rng):
     """W8A8 LLM (weight_quant + act_quant) logits stay close to the
     W8A16 logits on a tiny model."""
