@@ -104,6 +104,7 @@ class ClipVideoAdapter(nn.Module):
         w = p // h
         grid = seq.reshape(b, t, h, w, c)
         grid = SpatioTemporalConvAdapter(dtype=self.dtype,
+                                         quant_w8a8=cfg.quant_w8a8,
                                          name="adapter")(grid)
         seq = grid.reshape(bt, p, c)
         return jnp.concatenate([cls_tok, seq], axis=1)

@@ -56,6 +56,8 @@ SAM_QUANT_PATTERNS = (
 CLIP_QUANT_PATTERNS = (
     r"layers_\d+/self_attn/(q|k|v|out)_proj$",
     r"layers_\d+/fc[12]$",
+    # gated video adapters (~39% of tower FLOPs at CLIP-L/336 scale)
+    r"adapters_\d+/adapter/conv3d$",
 )
 
 
