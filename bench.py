@@ -13,6 +13,8 @@ BENCH_BASELINE.json (1.0 on the first run).
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -22,6 +24,39 @@ import jax.numpy as jnp
 
 BASELINE_FILE = os.path.join(os.path.dirname(__file__),
                              "BENCH_BASELINE.json")
+
+
+def wait_for_tpu(attempts: int = 12, probe_timeout: int = 120,
+                 sleep_s: int = 60) -> None:
+    """Gate the measured run on relay health.
+
+    The axon relay occasionally wedges (a device op hangs indefinitely
+    rather than erroring); a bench started against a wedged relay hangs
+    at the first launch and the round records a failure. Probe with a
+    tiny matmul in a SUBPROCESS (so a hang is killable) and wait for
+    recovery — observed wedges clear on a relay restart within minutes.
+    All logging goes to stderr; stdout stays reserved for the one JSON
+    result line. No-op off-TPU (CPU runs don't relay)."""
+    if jax.default_backend() != "tpu":
+        return
+    probe = ("import jax, numpy as np, jax.numpy as jnp;"
+             "x = jnp.ones((256, 256), jnp.bfloat16);"
+             "print(float(np.asarray((x @ x).sum())))")
+    for i in range(attempts):
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=probe_timeout,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError) as e:
+            print(f"bench: TPU relay probe {i + 1}/{attempts} failed "
+                  f"({type(e).__name__}); retrying in {sleep_s}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+    print("bench: relay never recovered; proceeding anyway",
+          file=sys.stderr, flush=True)
 MAX_NEW_TOKENS = 64
 N_WARMUP = 1
 N_ITERS = 4
@@ -30,6 +65,7 @@ BATCH_CLIPS = 32  # clips per launch: throughput saturates here (batch sweep
 
 
 def main():
+    wait_for_tpu()
     from grove_tpu.config import GroveConfig
     from grove_tpu.infer.generate import greedy_decode
     from grove_tpu.models.grove import GroveModel, init_grove_params

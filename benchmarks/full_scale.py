@@ -108,6 +108,10 @@ def main():
     p.add_argument("--output", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_FULL.json"))
+    p.add_argument("--int4", action="store_true",
+                   help="group-128 int4 LLM projection weights (int8 "
+                        "lm_head) instead of int8: halves decode's "
+                        "weight-read bytes again")
     p.add_argument("--no_quant", action="store_true",
                    help="bf16 LLM weights (needs >15.75GB; multi-chip only)")
     p.add_argument("--fused", action="store_true",
@@ -148,7 +152,8 @@ def main():
 
     report = {"config": "full", "backend": jax.default_backend(),
               "batch": args.batch,
-              "llm_weights": "bf16" if args.no_quant else "int8"}
+              "llm_weights": ("bf16" if args.no_quant
+                              else "int4" if args.int4 else "int8")}
 
     print("measuring chip ceilings...", flush=True)
     peak_tf, peak_gbs = measure_peaks()
@@ -160,7 +165,8 @@ def main():
     cfg = GroveConfig()
     cfg = dataclasses.replace(cfg, llama=dataclasses.replace(
         cfg.llama, weight_quant=not args.no_quant, fused_qkv=args.fused,
-        act_quant=args.llm_act_quant))
+        act_quant=args.llm_act_quant,
+        weight_quant_bits=4 if args.int4 else 8))
     if args.vision_quant:
         cfg = dataclasses.replace(
             cfg,
@@ -192,12 +198,19 @@ def main():
     params = jax.jit(lambda: jax.tree.map(
         lambda a: jnp.zeros(a.shape, a.dtype), tgt))()
     model = GroveModel(cfg, dtype=jnp.bfloat16)
-    pbytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+    pbytes = sum(int(np.prod(x.shape)) * (0.5 if x.dtype == jnp.int4
+                                          else x.dtype.itemsize)
                  for x in jax.tree.leaves(params))
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(params))
     report["params_b"] = round(n_params / 1e9, 2)
     report["param_bytes_gb"] = round(pbytes / 1e9, 2)
+    # device-side truth: int4's packed-in-HBM claim is verified here (the
+    # logical 0.5 B/elem above must match live bytes_in_use to ~1%)
+    stats = jax.devices()[0].memory_stats() or {}
+    if "bytes_in_use" in stats:
+        report["hbm_bytes_in_use_gb"] = round(
+            stats["bytes_in_use"] / 1e9, 2)
     print(f"  {n_params/1e9:.2f}B params, {pbytes/1e9:.2f} GB on chip "
           f"({time.time()-t0:.0f}s)", flush=True)
 

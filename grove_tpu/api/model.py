@@ -86,24 +86,40 @@ class GroveForCausalLM:
                 variables = {"params": params}
         return cls(cfg, model, variables)
 
-    def quantize(self, vision: bool = False) -> "GroveForCausalLM":
-        """int8 serving variant. Always: LLM Dense kernels stored int8
-        with per-channel scales (W8A16, see ops/quant.py — halves LLM
-        weight HBM so the full model fits a single v5e chip). With
-        `vision=True`: additionally W8A8-quantize the CLIP and SAM
-        encoder towers (int8 weights AND dynamic int8 activations — the
-        towers are compute-bound and int8 MXU dots run 2x bf16 on v5e).
+    def quantize(self, vision: bool = False, bits: int = 8,
+                 act_quant: bool = False) -> "GroveForCausalLM":
+        """int8/int4 serving variant. Always: LLM Dense kernels stored
+        quantized (bits=8: per-channel int8 W8A16, see ops/quant.py —
+        halves LLM weight HBM so the full model fits a single v5e chip;
+        bits=4: group-128 int4 projections + int8 lm_head — halves the
+        weight bytes AGAIN, speeding the weight-read-bound decode step,
+        at GPTQ-class quantization noise). With `vision=True`:
+        additionally W8A8-quantize the CLIP and SAM encoder towers (int8
+        weights AND dynamic int8 activations — the towers are
+        compute-bound and int8 MXU dots run 2x bf16 on v5e). With
+        `act_quant=True`: LLM multi-token activations quantize
+        dynamically too (prefill rides the int8 MXU path — measured
+        257 TF/s effective vs the 197 bf16 peak; single-token decode
+        stays on the weight-read-bound path either way).
         Returns a NEW instance; the original stays usable."""
         import dataclasses
 
         from ..models.grove import GroveModel
         from ..ops.quant import (quantize_clip_tree, quantize_llama_tree,
+                                 quantize_llama_tree_int4,
                                  quantize_sam_tree)
 
+        assert bits in (8, 4), bits
         cfg = dataclasses.replace(
             self.cfg, llama=dataclasses.replace(self.cfg.llama,
-                                                weight_quant=True))
-        params = quantize_llama_tree(self.variables["params"])
+                                                weight_quant=True,
+                                                weight_quant_bits=bits,
+                                                act_quant=act_quant))
+        if bits == 4:
+            params = quantize_llama_tree_int4(
+                self.variables["params"], group=cfg.llama.quant_group)
+        else:
+            params = quantize_llama_tree(self.variables["params"])
         if vision:
             cfg = dataclasses.replace(
                 cfg,

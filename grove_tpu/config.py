@@ -192,6 +192,15 @@ class LlamaConfig:
     # weights) is unchanged. Requires weight_quant. Adds per-token
     # quantization noise on top of W8A16 — serving opt-in.
     act_quant: bool = False
+    # weight-quant bit width: 8 (per-output-channel int8, the default) or
+    # 4 (group-wise int4, `ops/quant.quantize_llama_tree_int4`). int4
+    # halves weight HBM again (6.7 -> 3.4 GB at 7B) — decode is weight-
+    # read-bound, so the decode step speeds up nearly proportionally —
+    # at the cost of group-RTN quantization noise and bf16-rate prefill
+    # (the int4 path has no W8A8 prefill mode). lm_head stays int8.
+    weight_quant_bits: int = 8
+    # input-dim group size for int4 scales (GPTQ-class convention)
+    quant_group: int = 128
     # decode-path projection fusion: q/k/v -> one (D, 3D) matmul and
     # gate/up -> one (D, 2I) matmul. Bit-identical numerics (output
     # columns are independent dot products); fewer, wider matmuls keep

@@ -11,9 +11,10 @@ in the unfused (reference/HF) layout; fuse at load time:
     cfg  = dataclasses.replace(cfg, llama=replace(cfg.llama, fused_qkv=True))
     params = fuse_llama_projections(params)
 
-Works for both bf16 (`{"kernel"}`) and weight-only-int8
-(`{"kernel_q", "scale"}`, per-OUTPUT-channel scales — concatenation along
-the output axis keeps every channel's scale aligned). LoRA deltas are
+Works for bf16 (`{"kernel"}`), weight-only-int8 (`{"kernel_q", "scale"}`,
+per-OUTPUT-channel scales) and group-wise int4 (`{"kernel_q4", "scale"}`,
+(G, N) scales) — concatenation along the output axis keeps every
+channel's (and group-column's) scale aligned. LoRA deltas are
 unaffected (they add to the split q/v slices). Note: the tensor-parallel
 rules target the unfused names; `fused_qkv` is a single-chip decode mode.
 """
@@ -38,8 +39,14 @@ def _concat_dense(parts: Sequence[Dict]) -> Dict:
     if "kernel_q" in keys:
         out["kernel_q"] = jnp.concatenate([p["kernel_q"] for p in parts],
                                           axis=1)
+    if "kernel_q4" in keys:
+        out["kernel_q4"] = jnp.concatenate([p["kernel_q4"] for p in parts],
+                                           axis=1)
     if "scale" in keys:
-        out["scale"] = jnp.concatenate([p["scale"] for p in parts], axis=0)
+        # per-output-channel int8 scales are (N,); group-wise int4 scales
+        # are (G, N) — the output axis is last in both
+        out["scale"] = jnp.concatenate([p["scale"] for p in parts],
+                                       axis=parts[0]["scale"].ndim - 1)
     if "bias" in keys:
         out["bias"] = jnp.concatenate([p["bias"] for p in parts], axis=0)
     leftover = keys - set(out)
@@ -94,7 +101,12 @@ def unfuse_llama_projections(params: Dict, cfg) -> Dict:
         offs = np.cumsum([0] + list(sizes))
         outs = [{} for _ in names]
         for key, v in d.items():
-            axis = 1 if key in ("kernel", "kernel_q") else 0
+            if key in ("kernel", "kernel_q", "kernel_q4"):
+                axis = 1
+            elif key == "scale":
+                axis = v.ndim - 1       # (N,) int8 or (G, N) int4
+            else:
+                axis = 0
             for i in range(len(names)):
                 sl = [slice(None)] * v.ndim
                 sl[axis] = slice(int(offs[i]), int(offs[i + 1]))

@@ -83,6 +83,78 @@ class Int8Dense(nn.Module):
         return y.astype(self.dtype)
 
 
+class Int4Dense(nn.Module):
+    """int4-weight linear with GPTQ-convention group-wise scales.
+
+    y = x @ dequant(W_int4)  with  dequant(W)[k, n] = q4[k, n] * s[g(k), n],
+    g(k) = k // group. Parameters come from
+    `ops.quant.quantize_llama_tree_int4`; init produces placeholder zeros.
+
+    Two execution paths, both reading only the PACKED int4 bytes from HBM:
+    * multi-token (prefill): the fused Pallas matmul
+      (`ops.int4_matmul`) — dequantize in VMEM, dot in the compute dtype,
+      per-k-block output scaling (see that module's docstring for why XLA
+      can't express this without materializing bf16 weights).
+    * single-token (decode): a grouped einsum — the (B, 1, G, N)
+      intermediate is tiny, XLA fuses the int4->bf16 convert into the
+      dot's operand read, and the step stays bound on the int4 bytes.
+
+    Accuracy: group-128 round-to-nearest int4 is the standard W4
+    serving storage format (GPTQ/AWQ-class); per-channel int8 (Int8Dense)
+    remains the conservative default (`LlamaConfig.weight_quant_bits`).
+    """
+    features: int
+    group: int = 128
+    dtype: jnp.dtype = jnp.bfloat16
+    use_bias: bool = False
+    # W4A8: dynamically int8-quantize multi-token activations so the
+    # kernel dot is int8 x int8 (2x the bf16 MXU rate — prefill keeps
+    # the W8A8 mode's speed). Decode rows stay bf16 (weight-read-bound).
+    act_quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        k = x.shape[-1]
+        group = self.group
+        while k % group:
+            group //= 2                      # tiny test configs
+        groups = k // group
+        kernel_q = self.param("kernel_q4", nn.initializers.zeros,
+                              (k, self.features), jnp.int4)
+        scale = self.param("scale", nn.initializers.ones,
+                           (groups, self.features), jnp.float32)
+
+        lead = x.shape[:-1]
+        tokens = 1
+        for d in lead:
+            tokens *= d
+        use_kernel = (jax.default_backend() == "tpu" and tokens >= 64
+                      and group % 128 == 0
+                      and self.features % 128 == 0)
+        if use_kernel and self.act_quant:
+            from ..ops.int4_matmul import int4_matmul_a8
+            xq, sx = quant_act(x.reshape(tokens, k))
+            y = int4_matmul_a8(xq, sx, kernel_q, scale,
+                               out_dtype=self.dtype)
+            y = y.reshape(*lead, self.features)
+        elif use_kernel:
+            from ..ops.int4_matmul import int4_matmul
+            y = int4_matmul(x.astype(self.dtype).reshape(tokens, k),
+                            kernel_q, scale)
+            y = y.reshape(*lead, self.features)
+        else:
+            xg = x.astype(self.dtype).reshape(*lead, groups, group)
+            wg = kernel_q.reshape(groups, group, self.features)
+            y = jnp.einsum("...gk,gkn->...gn", xg, wg.astype(self.dtype),
+                           preferred_element_type=jnp.float32)
+            y = (y * scale).sum(axis=-2)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(self.dtype)
+
+
 class RMSNorm(nn.Module):
     """LLaMA RMSNorm; stats in fp32."""
     eps: float = 1e-6

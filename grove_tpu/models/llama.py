@@ -25,17 +25,25 @@ import jax.numpy as jnp
 
 from ..config import LlamaConfig
 from ..ops.attention import multi_head_attention, xla_attention
-from .layers import Int8Dense, RMSNorm
+from .layers import Int4Dense, Int8Dense, RMSNorm
 
 
-def _dense(cfg: LlamaConfig, features: int, dtype, name: str):
+def _dense(cfg: LlamaConfig, features: int, dtype, name: str,
+           bits: int = 0):
     """Dense factory: bf16 kernel, or int8 + per-channel scale when
     `cfg.weight_quant` (serving mode; params produced by
     `ops.quant.quantize_llama_tree`). With `cfg.act_quant` on top,
     activations are dynamically int8-quantized per token too (W8A8):
     prefill is compute-bound and int8 MXU dots run 2x bf16; decode is
-    HBM-bound on the (already int8) weights either way."""
+    HBM-bound on the (already int8) weights either way.
+
+    `cfg.weight_quant_bits == 4` swaps the projection kernels for
+    group-wise `Int4Dense` (params from `quantize_llama_tree_int4`);
+    callers pin `bits=8` for matrices that stay int8 (lm_head)."""
     if cfg.weight_quant:
+        if (bits or cfg.weight_quant_bits) == 4:
+            return Int4Dense(features, group=cfg.quant_group, dtype=dtype,
+                             act_quant=cfg.act_quant, name=name)
         return Int8Dense(features, dtype=dtype, act_quant=cfg.act_quant,
                          name=name)
     return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
@@ -327,7 +335,7 @@ class LlamaLMHead(nn.Module):
     @nn.compact
     def __call__(self, hidden):
         return _dense(self.cfg, self.cfg.padded_vocab_size, self.dtype,
-                      "lm_head")(hidden)
+                      "lm_head", bits=8)(hidden)
 
 
 def init_kv_caches(cfg: LlamaConfig, batch: int, max_len: int,

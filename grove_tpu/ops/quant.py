@@ -106,6 +106,64 @@ def quantize_llama_tree(params: Dict) -> Dict:
     return quantize_tree(params, _QUANT_PATTERNS)
 
 
+def quantize_kernel_int4(kernel: np.ndarray,
+                         group: int = 128) -> Tuple[np.ndarray, np.ndarray]:
+    """(in, out) f32/bf16 -> int4 kernel + per-(group, out) f32 scales.
+
+    Group-wise round-to-nearest absmax over `group`-sized slices of the
+    INPUT dim (GPTQ storage convention): q = round(k / s[g, n]) in
+    [-7, 7], s = groupwise absmax / 7. Symmetric around zero so the
+    Int4Dense dequant needs no zero-points."""
+    k = np.asarray(kernel, np.float32)
+    kin, out = k.shape
+    while kin % group:
+        group //= 2
+    g = k.reshape(kin // group, group, out)
+    scale = np.max(np.abs(g), axis=1) / 7.0           # (G, out)
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.round(g / scale[:, None, :]), -7, 7)
+    return q.reshape(kin, out).astype(np.int8), scale.astype(np.float32)
+
+
+# int4 covers the bulk projection weights; lm_head is quality-sensitive
+# (logits feed greedy/beam argmax directly) and a single matrix, so it
+# stays per-channel int8
+_QUANT4_PATTERNS = (
+    r"llama/layers_\d+/self_attn/(q|k|v|o)_proj$",
+    r"llama/layers_\d+/self_attn/qkv_proj$",
+    r"llama/layers_\d+/mlp/(gate|up|down)_proj$",
+    r"llama/layers_\d+/mlp/gate_up_proj$",
+)
+
+
+def quantize_llama_tree_int4(params: Dict, group: int = 128) -> Dict:
+    """W4 serving quantization: layer projection kernels -> int4 with
+    group-wise scales (`Int4Dense` structure: kernel_q4 + (G, N) scale);
+    lm_head -> per-channel int8 (`Int8Dense`). Pair with
+    `LlamaConfig(weight_quant=True, weight_quant_bits=4)`."""
+    regexes = [re.compile(p) for p in _QUANT4_PATTERNS]
+
+    def rec(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            path = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                if any(r.search(path) for r in regexes) and "kernel" in v:
+                    q, s = quantize_kernel_int4(np.asarray(v["kernel"]),
+                                                group)
+                    rest = {kk: vv for kk, vv in v.items()
+                            if kk != "kernel"}
+                    out[k] = {"kernel_q4": jnp.asarray(q, jnp.int4),
+                              "scale": jnp.asarray(s), **rest}
+                else:
+                    out[k] = rec(v, path)
+            else:
+                out[k] = v
+        return out
+
+    return rec(quantize_tree(params, (r"lm_head/lm_head$",)))
+
+
 def quantize_sam_tree(params: Dict) -> Dict:
     """SAM encoder serving quantization (W8A8): qkv/proj/lin1/lin2
     kernels -> int8; pair with `SamEncoderConfig.quant_w8a8=True` so the

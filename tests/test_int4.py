@@ -1,0 +1,200 @@
+"""Group-wise int4 LLM quantization: numerics, structure, kernel parity.
+
+The W4 serving mode (`quantize(bits=4)`, `LlamaConfig.weight_quant_bits=4`)
+stores projection kernels as int4 with group-wise scales and lm_head as
+per-channel int8. The reference serves bf16 only — this mode exists for
+the decode-bandwidth win on TPU (weights are the dominant decode bytes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
+from grove_tpu.api.model import GroveForCausalLM
+from grove_tpu.config import GroveConfig
+from grove_tpu.infer.generate import greedy_decode
+from grove_tpu.models.grove import GroveModel, init_grove_params
+from grove_tpu.ops.int4_matmul import int4_matmul
+from grove_tpu.ops.quant import quantize_kernel_int4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = GroveConfig.tiny()
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(1),
+                                         dtype=jnp.float32, batch=1)
+    lm = GroveForCausalLM(cfg, model, variables)
+    return cfg, lm, lm.quantize(bits=4)
+
+
+def test_quantize_kernel_int4_roundtrip(rng):
+    k = rng.normal(size=(256, 32)).astype(np.float32)
+    q, s = quantize_kernel_int4(k, group=128)
+    assert q.dtype == np.int8 and s.shape == (2, 32)
+    assert q.min() >= -7 and q.max() <= 7
+    deq = (q.reshape(2, 128, 32).astype(np.float32)
+           * s[:, None, :]).reshape(256, 32)
+    rel = np.linalg.norm(deq - k) / np.linalg.norm(k)
+    # 4-bit absmax RTN on gaussians: step ~ 3.5sigma/7 = 0.5sigma, noise
+    # sigma/sqrt(12)*step ~ 0.14sigma -> ~12-14% rel. Real checkpoints
+    # quantize tighter (heavier-than-gaussian weight mass near 0 hurts,
+    # outlier-free groups help); GPTQ-class calibration improves on RTN.
+    assert rel < 0.15, rel
+    # exactly-representable weights reconstruct exactly
+    grid = rng.integers(-7, 8, size=(256, 32)).astype(np.float32) * 0.25
+    q, s = quantize_kernel_int4(grid, group=128)
+    deq = (q.reshape(2, 128, 32).astype(np.float32)
+           * s[:, None, :]).reshape(256, 32)
+    np.testing.assert_allclose(deq, grid, rtol=0, atol=1e-6)
+
+
+def test_int4_matmul_kernel_parity(rng):
+    """Pallas fused dequant-matmul == explicit dequant + XLA matmul,
+    including M padding and multiple n-blocks (interpret mode on CPU)."""
+    m, k, n = 100, 256, 256            # m deliberately not block-aligned
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    q, s = quantize_kernel_int4(w, group=128)
+    deq = (q.reshape(k // 128, 128, n).astype(np.float32)
+           * s[:, None, :]).reshape(k, n)
+    want = x @ deq
+    got = int4_matmul(jnp.asarray(x), jnp.asarray(q, jnp.int4),
+                      jnp.asarray(s), block_m=64, block_n=128)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=1e-2)
+
+
+def test_int4_matmul_a8_kernel_parity(rng):
+    """W4A8 kernel == explicit int math: (sx*xq) @ (q4*s) with integer
+    dot + f32 accumulation is exact, so tolerances are fp-roundoff."""
+    from grove_tpu.models.layers import quant_act
+    from grove_tpu.ops.int4_matmul import int4_matmul_a8
+    m, k, n = 70, 256, 256
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    q, s = quantize_kernel_int4(w, group=128)
+    xq, sx = quant_act(jnp.asarray(x))
+    got = int4_matmul_a8(xq, sx, jnp.asarray(q, jnp.int4), jnp.asarray(s),
+                         block_m=64, block_n=128, out_dtype=jnp.float32)
+    xd = np.asarray(xq, np.float32) * np.asarray(sx)
+    deq = (q.reshape(k // 128, 128, n).astype(np.float32)
+           * s[:, None, :]).reshape(k, n)
+    want = xd @ deq
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_int4_dense_grouped_einsum_matches_dequant(rng):
+    """The decode-path grouped einsum == explicit dequant matmul."""
+    from grove_tpu.models.layers import Int4Dense
+    k, n = 256, 64
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    q, s = quantize_kernel_int4(w, group=128)
+    x = rng.normal(size=(2, 1, k)).astype(np.float32)
+    mod = Int4Dense(n, group=128, dtype=jnp.float32)
+    y = mod.apply({"params": {"kernel_q4": jnp.asarray(q, jnp.int4),
+                              "scale": jnp.asarray(s)}}, jnp.asarray(x))
+    deq = (q.reshape(k // 128, 128, n).astype(np.float32)
+           * s[:, None, :]).reshape(k, n)
+    np.testing.assert_allclose(np.asarray(y), x @ deq, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_int4_tree_structure_and_bytes(setup):
+    cfg, lm, qlm = setup
+    pq = qlm.variables["params"]
+    attn = pq["llama"]["layers_0"]["self_attn"]["q_proj"]
+    assert set(attn.keys()) == {"kernel_q4", "scale"}
+    assert attn["kernel_q4"].dtype == jnp.int4
+    assert attn["scale"].ndim == 2
+    # lm_head stays int8; embeddings and norms untouched
+    assert "kernel_q" in pq["lm_head"]["lm_head"]
+    assert "embedding" in pq["embed_tokens"]
+    # NOTE: host-side numpy views of int4 are byte-per-element; the HBM
+    # packing claim (2 elements/byte) is asserted on real hardware in
+    # benchmarks/full_scale.py via device memory stats, not here.
+    assert pq["llama"]["layers_0"]["mlp"]["down_proj"][
+        "kernel_q4"].dtype == jnp.int4
+
+
+def test_int4_forward_close(setup, rng):
+    """Teacher-forced logits relative error bounded — the W4 numerics
+    gate. Group-128 RTN on RANDOM gaussian weights is the worst case
+    (~12-14% per-matrix); the gate pins the implementation doesn't add
+    error beyond the quantizer itself."""
+    cfg, lm, qlm = setup
+    nv = cfg.num_video_tokens
+    ids = rng.integers(3, 100, size=(1, nv + 6)).astype(np.int32)
+    ids[:, 0] = cfg.tokens.bos
+    ids[:, 2:2 + nv] = 0
+    vs = np.full((1,), 2, np.int32)
+    feats = rng.normal(size=(1, nv, cfg.llama.hidden_size)).astype(
+        np.float32)
+    _, logits = lm.model.apply(lm.variables, jnp.asarray(ids),
+                               jnp.asarray(feats), jnp.asarray(vs),
+                               method=GroveModel.lm_forward)
+    _, logits_q = qlm.model.apply(qlm.variables, jnp.asarray(ids),
+                                  jnp.asarray(feats), jnp.asarray(vs),
+                                  method=GroveModel.lm_forward)
+    rel = float(jnp.linalg.norm(logits_q - logits)
+                / jnp.linalg.norm(logits))
+    assert rel < 0.25, rel
+
+
+def test_int4_decode_runs(setup, rng):
+    cfg, lm, qlm = setup
+    nv = cfg.num_video_tokens
+    ids = rng.integers(3, 100, size=(2, nv + 6)).astype(np.int32)
+    ids[:, 0] = cfg.tokens.bos
+    ids[:, 2:2 + nv] = 0
+    vs = np.full((2,), 2, np.int32)
+    feats = rng.normal(size=(2, nv, cfg.llama.hidden_size)).astype(
+        np.float32)
+    g, h = greedy_decode(qlm.model, qlm.variables, jnp.asarray(ids),
+                         jnp.asarray(feats), jnp.asarray(vs),
+                         max_new_tokens=6, eos_id=cfg.tokens.eos,
+                         cache_dtype=jnp.float32)
+    g = np.asarray(g)
+    assert g.shape == (2, 6)
+    assert (g >= 0).all() and (g < cfg.llama.padded_vocab_size).all()
+    assert np.isfinite(np.asarray(h)).all()
+
+
+def test_int4_fuse_compose(setup, rng):
+    """quantize(bits=4) -> fuse(): fused qkv/gate_up int4 params keep the
+    group-scale alignment (concat on the OUTPUT axis) and decode runs."""
+    cfg, lm, qlm = setup
+    flm = qlm.fuse()
+    attn = flm.variables["params"]["llama"]["layers_0"]["self_attn"]
+    assert "qkv_proj" in attn and "q_proj" not in attn
+    d = cfg.llama.hidden_size
+    assert attn["qkv_proj"]["kernel_q4"].shape[-1] == 3 * d
+    assert attn["qkv_proj"]["scale"].shape[-1] == 3 * d
+    nv = cfg.num_video_tokens
+    ids = rng.integers(3, 100, size=(1, nv + 6)).astype(np.int32)
+    ids[:, 0] = cfg.tokens.bos
+    ids[:, 2:2 + nv] = 0
+    vs = np.full((1,), 2, np.int32)
+    feats = rng.normal(size=(1, nv, cfg.llama.hidden_size)).astype(
+        np.float32)
+    _, lq = qlm.model.apply(qlm.variables, jnp.asarray(ids),
+                            jnp.asarray(feats), jnp.asarray(vs),
+                            method=GroveModel.lm_forward)
+    _, lf = flm.model.apply(flm.variables, jnp.asarray(ids),
+                            jnp.asarray(feats), jnp.asarray(vs),
+                            method=GroveModel.lm_forward)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lq), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_int4_save_pretrained_roundtrip(setup, tmp_path):
+    _, _, qlm = setup
+    d = str(tmp_path / "q4model")
+    qlm.save_pretrained(d)
+    back = GroveForCausalLM.from_pretrained(d)
+    assert back.cfg.llama.weight_quant_bits == 4
+    for a, b in zip(jax.tree.leaves(qlm.variables["params"]),
+                    jax.tree.leaves(back.variables["params"])):
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
