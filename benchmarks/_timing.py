@@ -45,12 +45,21 @@ def _numeric(x):
     return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.number)
 
 
-def timed_loop(fn, *args, iters=3, perturb=None, extra=20):
+def timed_loop(fn, *args, iters=3, perturb=None, extra=20, repeats=1):
     """secs/iter by two-point slope: (t[iters+extra] - t[iters]) / extra.
 
     `perturb`: None = smallest float leaf of every arg (default; defeats
     per-input hoisting); an int = that arg only (legacy single-arg mode,
     for callers that need other args bitwise-untouched).
+    `repeats`: measure each endpoint this many times and slope the MIN
+    of each — the relay's load varies run-to-run (observed 3x swings on
+    sub-ms ops). Noise only inflates a wall-clock reading, so min(t_lo)
+    and min(t_hi) each converge on true device time + the fixed launch
+    floor, and their difference cancels the floor. (Taking min over
+    per-pair SLOPES instead is wrong: a noise spike in one pair's t_lo
+    makes that pair's slope spuriously small — observed 3992 GB/s
+    "bandwidth".) Sub-ms ops should also raise `extra` so the slope
+    window dwarfs launch jitter.
     """
     if perturb is None:
         pert_args = [i for i, a in enumerate(args)
@@ -82,13 +91,17 @@ def timed_loop(fn, *args, iters=3, perturb=None, extra=20):
 
     lo, hi = iters, iters + extra
     fetch(loop(hi, *args))                # compile + warm
-    t0 = time.time()
-    fetch(loop(lo, *args))
-    t_lo = time.time() - t0
-    t0 = time.time()
-    fetch(loop(hi, *args))
-    t_hi = time.time() - t0
-    slope = (t_hi - t_lo) / extra
+    t_lo = min_t_hi = None
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        fetch(loop(lo, *args))
+        t = time.time() - t0
+        t_lo = t if t_lo is None else min(t_lo, t)
+        t0 = time.time()
+        fetch(loop(hi, *args))
+        t = time.time() - t0
+        min_t_hi = t if min_t_hi is None else min(min_t_hi, t)
+    slope = (min_t_hi - t_lo) / extra
     if slope <= 0:                        # launch jitter swamped the signal
-        return t_hi / hi
+        return min_t_hi / hi
     return slope

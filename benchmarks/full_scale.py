@@ -198,8 +198,9 @@ def main():
     params = jax.jit(lambda: jax.tree.map(
         lambda a: jnp.zeros(a.shape, a.dtype), tgt))()
     model = GroveModel(cfg, dtype=jnp.bfloat16)
-    pbytes = sum(int(np.prod(x.shape)) * (0.5 if x.dtype == jnp.int4
-                                          else x.dtype.itemsize)
+    # int4 weights are packed two-per-int8-byte (`ops.quant.pack_int4`),
+    # so plain itemsize accounting is already HBM-exact
+    pbytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
                  for x in jax.tree.leaves(params))
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(params))

@@ -12,7 +12,7 @@ in the unfused (reference/HF) layout; fuse at load time:
     params = fuse_llama_projections(params)
 
 Works for bf16 (`{"kernel"}`), weight-only-int8 (`{"kernel_q", "scale"}`,
-per-OUTPUT-channel scales) and group-wise int4 (`{"kernel_q4", "scale"}`,
+per-OUTPUT-channel scales) and group-wise int4 (`{"kernel_q4p", "scale"}`,
 (G, N) scales) — concatenation along the output axis keeps every
 channel's (and group-column's) scale aligned. LoRA deltas are
 unaffected (they add to the split q/v slices). Note: the tensor-parallel
@@ -39,8 +39,8 @@ def _concat_dense(parts: Sequence[Dict]) -> Dict:
     if "kernel_q" in keys:
         out["kernel_q"] = jnp.concatenate([p["kernel_q"] for p in parts],
                                           axis=1)
-    if "kernel_q4" in keys:
-        out["kernel_q4"] = jnp.concatenate([p["kernel_q4"] for p in parts],
+    if "kernel_q4p" in keys:
+        out["kernel_q4p"] = jnp.concatenate([p["kernel_q4p"] for p in parts],
                                            axis=1)
     if "scale" in keys:
         # per-output-channel int8 scales are (N,); group-wise int4 scales
@@ -101,7 +101,7 @@ def unfuse_llama_projections(params: Dict, cfg) -> Dict:
         offs = np.cumsum([0] + list(sizes))
         outs = [{} for _ in names]
         for key, v in d.items():
-            if key in ("kernel", "kernel_q", "kernel_q4"):
+            if key in ("kernel", "kernel_q", "kernel_q4p"):
                 axis = 1
             elif key == "scale":
                 axis = v.ndim - 1       # (N,) int8 or (G, N) int4

@@ -89,15 +89,20 @@ class Int4Dense(nn.Module):
     y = x @ dequant(W_int4)  with  dequant(W)[k, n] = q4[k, n] * s[g(k), n],
     g(k) = k // group. Parameters come from
     `ops.quant.quantize_llama_tree_int4`; init produces placeholder zeros.
+    Weights are stored PACKED, two int4 values per int8 byte
+    (`ops.quant.pack_int4` — the relay cannot move `jnp.int4` arrays
+    across jit boundaries, and packed bytes carry the same 0.5 B/elem).
 
-    Two execution paths, both reading only the PACKED int4 bytes from HBM:
+    Two execution paths, both reading only the packed int4 bytes from HBM:
     * multi-token (prefill): the fused Pallas matmul
-      (`ops.int4_matmul`) — dequantize in VMEM, dot in the compute dtype,
-      per-k-block output scaling (see that module's docstring for why XLA
-      can't express this without materializing bf16 weights).
-    * single-token (decode): a grouped einsum — the (B, 1, G, N)
-      intermediate is tiny, XLA fuses the int4->bf16 convert into the
-      dot's operand read, and the step stays bound on the int4 bytes.
+      (`ops.int4_matmul`) — unpack + dequantize in VMEM, dot in the
+      compute dtype, per-nibble-plane output scaling (see that module's
+      docstring for why XLA can't express this without materializing
+      bf16 weights).
+    * single-token (decode): a grouped einsum over the unpacked planes —
+      the (B, 1, G, N) intermediate is tiny and the step stays bound on
+      the int4 bytes as long as XLA fuses the unpack into the dot's
+      operand read (measured in `benchmarks/int4_probe.py`).
 
     Accuracy: group-128 round-to-nearest int4 is the standard W4
     serving storage format (GPTQ/AWQ-class); per-channel int8 (Int8Dense)
@@ -114,13 +119,16 @@ class Int4Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.quant import unpack_int4
+
         k = x.shape[-1]
         group = self.group
-        while k % group:
+        while group > 1 and k % (2 * group):
             group //= 2                      # tiny test configs
+        assert k % (2 * group) == 0, (k, group)
         groups = k // group
-        kernel_q = self.param("kernel_q4", nn.initializers.zeros,
-                              (k, self.features), jnp.int4)
+        kernel_p = self.param("kernel_q4p", nn.initializers.zeros,
+                              (k // 2, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (groups, self.features), jnp.float32)
 
@@ -128,23 +136,53 @@ class Int4Dense(nn.Module):
         tokens = 1
         for d in lead:
             tokens *= d
-        use_kernel = (jax.default_backend() == "tpu" and tokens >= 64
-                      and group % 128 == 0
-                      and self.features % 128 == 0)
-        if use_kernel and self.act_quant:
-            from ..ops.int4_matmul import int4_matmul_a8
+        # Dispatch (all measured on-chip, benchmarks/int4_probe.py):
+        # * decode / few tokens: fused Pallas kernel — the only form
+        #   that reads just the packed bytes (0.23 ms vs 1.36 ms for the
+        #   XLA grouped einsum at the (8,4096)x(4096,11008) shape).
+        # * prefill (>= 64 tokens): materialize a one-byte-per-element
+        #   VIEW per call and use the plain XLA dot. Prefill reads every
+        #   weight once, so the extra write is cheap, while the Pallas
+        #   int4 kernels lose the MXU: Mosaic demands int32 acc for int8
+        #   dots (bf16 rate, 106 TF/s) whereas XLA's int8->f32 dot rides
+        #   the 2x path (285 TF/s) and the bf16 dot hits 160 TF/s vs the
+        #   W4A16 kernel's 82.
+        on_tpu = (jax.default_backend() == "tpu"
+                  and group % 128 == 0 and self.features % 128 == 0)
+        # act_quant only pays on multi-token shapes (decode rows are
+        # weight-read-bound; quantizing them measured +0.4 ms/step)
+        if on_tpu and tokens >= 64 and self.act_quant:
+            # int8 view: fold the group scales into per-channel int8
+            # (lossless to ~0.4% of the int4 step, far below the int4
+            # noise); rides the same XLA path as Int8Dense W8A8
+            wg = unpack_int4(kernel_p, group)        # (groups, G, N) int8
+            s8 = jnp.max(scale, axis=0) * (7.0 / 127.0)   # (N,) f32
+            q8 = jnp.clip(jnp.round(wg.astype(jnp.float32)
+                                    * (scale[:, None, :] / s8)),
+                          -127, 127).astype(jnp.int8)
+            q8 = q8.reshape(k, self.features)
             xq, sx = quant_act(x.reshape(tokens, k))
-            y = int4_matmul_a8(xq, sx, kernel_q, scale,
-                               out_dtype=self.dtype)
+            y = jax.lax.dot_general(
+                xq, q8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = (y * sx * s8).reshape(*lead, self.features)
+        elif on_tpu and tokens >= 64:
+            # bf16 view + XLA dot (compute-bound at prefill shapes)
+            wg = unpack_int4(kernel_p, group)
+            deq = (wg.astype(jnp.float32) * scale[:, None, :]).astype(
+                self.dtype).reshape(k, self.features)
+            y = jax.lax.dot_general(
+                x.astype(self.dtype).reshape(tokens, k), deq,
+                (((1,), (0,)), ((), ())))
             y = y.reshape(*lead, self.features)
-        elif use_kernel:
+        elif on_tpu:
             from ..ops.int4_matmul import int4_matmul
             y = int4_matmul(x.astype(self.dtype).reshape(tokens, k),
-                            kernel_q, scale)
+                            kernel_p, scale)
             y = y.reshape(*lead, self.features)
         else:
             xg = x.astype(self.dtype).reshape(*lead, groups, group)
-            wg = kernel_q.reshape(groups, group, self.features)
+            wg = unpack_int4(kernel_p, group)    # (groups, G, N) int8
             y = jnp.einsum("...gk,gkn->...gn", xg, wg.astype(self.dtype),
                            preferred_element_type=jnp.float32)
             y = (y * scale).sum(axis=-2)

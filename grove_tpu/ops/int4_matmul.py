@@ -1,26 +1,30 @@
-"""Fused int4-weight matmul: dequantize in VMEM, dot on the MXU.
+"""Fused int4-weight matmul: unpack + dequantize in VMEM, dot on the MXU.
 
 Why a kernel: XLA materializes dot operands, so an int4 weight matrix
-consumed as `wq.astype(bf16) * scale` would write the full bf16 kernel
-back to HBM every call — erasing the 4x byte win that motivates int4 in
-the first place. This kernel streams the PACKED int4 blocks into VMEM,
-dequantizes on the VPU, and feeds the MXU directly; the bf16 weights
-never exist in HBM.
+consumed as `dequant(wq)` would write the full bf16 kernel back to HBM
+every call — erasing the 4x byte win that motivates int4 in the first
+place. This kernel streams the PACKED int4 bytes into VMEM, unpacks and
+dequantizes on the VPU, and feeds the MXU directly; neither the int4
+values nor the bf16 weights ever exist in HBM.
 
-Scale handling exploits group == k-block: with GPTQ-convention group-wise
-scales s(K/G, N) and the k-grid stepping one group per iteration, every
-weight element in a k-block shares its scale row, so
+Storage is packed int8 (`ops.quant.pack_int4`): the axon relay cannot
+move `jnp.int4` arrays across jit boundaries (device_put recursion,
+measured in `benchmarks/int4_probe.py`), and packed bytes carry the same
+0.5 B/element. The pack pairs whole quantization GROUPS along K — packed
+super-group p holds group 2p in the low nibbles and group 2p+1 in the
+high nibbles — so one grid k-step unpacks into two contiguous (G, bn)
+operands and issues two full K=G MXU dots; no sublane interleave.
+
+Scale handling exploits group == nibble-plane: every weight element in a
+nibble plane shares its scale row, so
 
     sum_k x[m,k] * (q4[k,n] * s[g,n])  ==  s[g,n] * sum_k x[m,k] * q4[k,n]
 
 and the scale applies to the (bm, bn) dot OUTPUT tile — one VPU multiply
-per k-step instead of scaling the weights element-wise.
+per plane instead of scaling the weights element-wise.
 
-Used by `models.layers.Int4Dense` for multi-token (prefill) shapes; the
-single-token decode row uses a grouped-einsum XLA form instead (tiny
-intermediate, no kernel needed). Reference analogue: the serving-side
-W4 weight-only path of `model/language_model/...` has no counterpart —
-the reference serves bf16 only.
+Used by `models.layers.Int4Dense`. Reference analogue: none — the
+reference (ekazakos/grove) serves bf16 only.
 """
 
 from __future__ import annotations
@@ -33,19 +37,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, k_steps: int):
+def _unpack(p_ref):
+    """(G, bn) packed int8 -> (lo, hi) int32 nibble planes, sign-extended."""
+    p32 = p_ref[...].astype(jnp.int32)
+    lo = jnp.left_shift(p32, 28) >> 28
+    hi = p32 >> 4
+    return lo, hi
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, k_steps: int,
+            group: int):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...]                                   # (bm, bk) compute dtype
-    w = w_ref[...].astype(x.dtype)                   # (bk, bn) int4 -> bf16
-    p = jax.lax.dot_general(
-        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (bm, bn)
-    acc_ref[...] += p * s_ref[...]                   # s: (1, bn) group row
+    x = x_ref[...]                                   # (bm, 2G) compute dtype
+    lo, hi = _unpack(w_ref)                          # (G, bn) int32 planes
+    dn = (((1,), (0,)), ((), ()))
+    a = jax.lax.dot_general(x[:, :group], lo.astype(x.dtype), dn,
+                            preferred_element_type=jnp.float32)
+    b = jax.lax.dot_general(x[:, group:], hi.astype(x.dtype), dn,
+                            preferred_element_type=jnp.float32)
+    s = s_ref[0]                                     # (2, bn) group rows
+    acc_ref[...] += a * s[0:1] + b * s[1:2]
 
     @pl.when(kk == k_steps - 1)
     def _store():
@@ -53,64 +69,87 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, k_steps: int):
 
 
 def _kernel_a8(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_ref, *,
-               k_steps: int):
+               k_steps: int, group: int):
     """W4A8 variant: int8 activations x (int4 -> int8) weights ride the
-    MXU's int8 path (measured 2.0x the bf16 rate on v5e), f32
-    accumulation (exact: |acc per group| <= 128*127*7 ~ 1.1e5 << 2^24).
-    Per-token activation scales apply once at the final store."""
+    MXU's int8 path, int32 accumulation per dot (exact: |acc per group|
+    <= 128*127*7 ~ 1.1e5 << 2^31; Mosaic rejects f32 acc with int
+    operands — "Expected float lhs"), converted to f32 for the group
+    scale. Per-token activation scales apply once at the final store."""
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...]                                   # (bm, bk) int8
-    w = w_ref[...].astype(jnp.int8)                  # (bk, bn) int4 -> int8
-    p = jax.lax.dot_general(
-        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (bm, bn)
-    acc_ref[...] += p * s_ref[...]                   # s: (1, bn) group row
+    x = x_ref[...]                                   # (bm, 2G) int8
+    lo, hi = _unpack(w_ref)                          # (G, bn) int32 planes
+    dn = (((1,), (0,)), ((), ()))
+    a = jax.lax.dot_general(x[:, :group], lo.astype(jnp.int8), dn,
+                            preferred_element_type=jnp.int32)
+    b = jax.lax.dot_general(x[:, group:], hi.astype(jnp.int8), dn,
+                            preferred_element_type=jnp.int32)
+    s = s_ref[0]                                     # (2, bn) group rows
+    acc_ref[...] += (a.astype(jnp.float32) * s[0:1]
+                     + b.astype(jnp.float32) * s[1:2])
 
     @pl.when(kk == k_steps - 1)
     def _store():
         o_ref[...] = (acc_ref[...] * sx_ref[...]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
-def int4_matmul(x, wq, scale, block_m: int = 256, block_n: int = 512):
-    """x (M, K) bf16/f32 @ wq (K, N) int4 with scale (K/G, N) f32 -> (M, N).
+def _block_n(n: int, m: int, cap: int = 512) -> int:
+    """Largest multiple-of-128 divisor of n, capped (11008 -> 256).
 
-    Requires K % G == 0 with G = K // scale.shape[0] a multiple of 128
-    (the k-block IS the quantization group). M is padded to block_m
-    internally; N must divide by block_n or be <= block_n.
+    Decode shapes (tiny m) raise the cap: with m <= 32 the acc tile is
+    small, and small n-blocks leave the step dominated by per-grid-cell
+    overhead (measured 156 GB/s at bn=256 vs the ~670 GB/s the full
+    decode step achieves; bn=5504 cuts the 688-cell grid to 32 cells).
+    """
+    if m <= 32:
+        cap = 8192
+    bn = min(cap, n)
+    while bn > 128 and (n % bn or bn % 128):
+        bn -= 128
+    return bn
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def int4_matmul(x, wp, scale, block_m: int = 256, block_n: int = 0):
+    """x (M, K) bf16/f32 @ packed wp (K/2, N) int8 with scale (K/G, N)
+    f32 -> (M, N).
+
+    Requires K % (2G) == 0 with G = K // scale.shape[0] a multiple of 128
+    (each nibble plane IS a quantization group). M is padded to block_m
+    internally; block_n=0 picks the largest 128-multiple divisor of N.
     """
     m, k = x.shape
-    kw, n = wq.shape
-    assert k == kw, (x.shape, wq.shape)
+    kh, n = wp.shape
+    assert k == 2 * kh, (x.shape, wp.shape)
     groups = scale.shape[0]
-    assert k % groups == 0
-    block_k = k // groups
-    assert block_k % 128 == 0, ("int4 k-block must be lane-aligned",
-                                block_k)
+    assert k % groups == 0 and groups % 2 == 0, (k, groups)
+    group = k // groups
+    assert group % 128 == 0, ("int4 nibble plane must be lane-aligned",
+                              group)
 
-    block_n = min(block_n, n)
+    block_n = block_n or _block_n(n, m)
     assert n % block_n == 0, (n, block_n)
     block_m = min(block_m, max(8, m))
     pad_m = (-m) % block_m
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
     mp = m + pad_m
+    k_steps = groups // 2
 
-    kernel = functools.partial(_kernel, k_steps=groups)
+    kernel = functools.partial(_kernel, k_steps=k_steps, group=group)
     out = pl.pallas_call(
         kernel,
-        grid=(mp // block_m, n // block_n, groups),
+        grid=(mp // block_m, n // block_n, k_steps),
         in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
+            pl.BlockSpec((block_m, 2 * group), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((group, block_n), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((1, 2, block_n), lambda i, j, kk: (kk, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
@@ -118,30 +157,32 @@ def int4_matmul(x, wq, scale, block_m: int = 256, block_n: int = 512):
         out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
-    )(x, wq, scale.astype(jnp.float32))
+    )(x, wp, scale.astype(jnp.float32).reshape(k_steps, 2, n))
     return out[:m] if pad_m else out
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
                                              "out_dtype"))
-def int4_matmul_a8(xq, sx, wq, scale, block_m: int = 256,
-                   block_n: int = 512, out_dtype=jnp.bfloat16):
+def int4_matmul_a8(xq, sx, wp, scale, block_m: int = 256,
+                   block_n: int = 0, out_dtype=jnp.bfloat16):
     """W4A8: xq (M, K) int8 with per-token scales sx (M, 1) f32 @
-    wq (K, N) int4 with group scales scale (K/G, N) f32 -> (M, N).
+    packed wp (K/2, N) int8 with group scales scale (K/G, N) f32 ->
+    (M, N).
 
-    y ~= (sx * xq) @ dequant(wq): both matmul operands are integer, so
+    y ~= (sx * xq) @ dequant(wp): both matmul operands are integer, so
     the dot runs at the MXU's int8 rate; scales apply to the f32
-    accumulator (group scale per k-step, token scale at the store).
-    Same blocking contract as `int4_matmul`."""
+    accumulator (group scale per nibble plane, token scale at the
+    store). Same blocking contract as `int4_matmul`."""
     m, k = xq.shape
-    kw, n = wq.shape
-    assert k == kw and sx.shape == (m, 1), (xq.shape, wq.shape, sx.shape)
+    kh, n = wp.shape
+    assert k == 2 * kh and sx.shape == (m, 1), (xq.shape, wp.shape,
+                                                sx.shape)
     groups = scale.shape[0]
-    assert k % groups == 0
-    block_k = k // groups
-    assert block_k % 128 == 0, block_k
+    assert k % groups == 0 and groups % 2 == 0, (k, groups)
+    group = k // groups
+    assert group % 128 == 0, group
 
-    block_n = min(block_n, n)
+    block_n = block_n or _block_n(n, m)
     assert n % block_n == 0, (n, block_n)
     block_m = min(block_m, max(8, m))
     pad_m = (-m) % block_m
@@ -149,19 +190,20 @@ def int4_matmul_a8(xq, sx, wq, scale, block_m: int = 256,
         xq = jnp.pad(xq, ((0, pad_m), (0, 0)))
         sx = jnp.pad(sx, ((0, pad_m), (0, 0)))
     mp = m + pad_m
+    k_steps = groups // 2
 
-    kernel = functools.partial(_kernel_a8, k_steps=groups)
+    kernel = functools.partial(_kernel_a8, k_steps=k_steps, group=group)
     out = pl.pallas_call(
         kernel,
-        grid=(mp // block_m, n // block_n, groups),
+        grid=(mp // block_m, n // block_n, k_steps),
         in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
+            pl.BlockSpec((block_m, 2 * group), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((group, block_n), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((1, 2, block_n), lambda i, j, kk: (kk, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
@@ -169,5 +211,6 @@ def int4_matmul_a8(xq, sx, wq, scale, block_m: int = 256,
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
-    )(xq, sx.astype(jnp.float32), wq, scale.astype(jnp.float32))
+    )(xq, sx.astype(jnp.float32), wp,
+      scale.astype(jnp.float32).reshape(k_steps, 2, n))
     return out[:m] if pad_m else out

@@ -106,23 +106,63 @@ def quantize_llama_tree(params: Dict) -> Dict:
     return quantize_tree(params, _QUANT_PATTERNS)
 
 
+def pack_int4(q: np.ndarray, group: int) -> np.ndarray:
+    """int4 values (K, N) int8 in [-8, 7] -> PACKED (K/2, N) int8.
+
+    Pairs whole quantization GROUPS along K: packed row ``p*G + i``
+    (p = super-group, i < G) holds logical elements ``(2p)G + i`` in its
+    low nibble and ``(2p+1)G + i`` in its high nibble. Group-pair packing
+    keeps each nibble plane a contiguous K-slice of its own quant group,
+    so the matmul kernel unpacks into two full (G, N) operands — two
+    K=G MXU dots per step, no sublane interleave.
+
+    Why packed int8 at all: the axon relay cannot move ``jnp.int4``
+    arrays across jit boundaries (eager ops and jit-arg passing both
+    recurse in device_put — measured in `benchmarks/int4_probe.py`), so
+    int4 weights live as packed bytes and are unpacked in-kernel.
+    """
+    kin, out = q.shape
+    assert kin % (2 * group) == 0, (kin, group)
+    v = q.reshape(kin // (2 * group), 2, group, out)
+    lo = v[:, 0].astype(np.uint8) & 0x0F
+    hi = (v[:, 1].astype(np.uint8) & 0x0F) << 4
+    return (lo | hi).astype(np.int8).reshape(kin // 2, out)
+
+
+def unpack_int4(packed: jnp.ndarray, group: int) -> jnp.ndarray:
+    """PACKED (K/2, N) int8 -> (K/G groups, G, N) int8 values (jit-safe).
+
+    Inverse of `pack_int4`; shifts run in int32 (native VPU width)."""
+    half, out = packed.shape
+    s = half // group                       # super-groups
+    p32 = packed.reshape(s, group, out).astype(jnp.int32)
+    lo = jnp.left_shift(p32, 28) >> 28      # sign-extended low nibble
+    hi = p32 >> 4                           # arithmetic: high nibble
+    w = jnp.stack([lo, hi], axis=1)         # (s, 2, G, N)
+    return w.reshape(2 * s, group, out).astype(jnp.int8)
+
+
 def quantize_kernel_int4(kernel: np.ndarray,
                          group: int = 128) -> Tuple[np.ndarray, np.ndarray]:
-    """(in, out) f32/bf16 -> int4 kernel + per-(group, out) f32 scales.
+    """(in, out) f32/bf16 -> PACKED int4 kernel + per-(group, out) scales.
 
     Group-wise round-to-nearest absmax over `group`-sized slices of the
     INPUT dim (GPTQ storage convention): q = round(k / s[g, n]) in
     [-7, 7], s = groupwise absmax / 7. Symmetric around zero so the
-    Int4Dense dequant needs no zero-points."""
+    Int4Dense dequant needs no zero-points. Returns
+    ``(packed (K/2, N) int8, scale (K/G, N) f32)`` — see `pack_int4`.
+    """
     k = np.asarray(kernel, np.float32)
     kin, out = k.shape
-    while kin % group:
+    while group > 1 and kin % (2 * group):
         group //= 2
+    assert kin % (2 * group) == 0, (kin, group)
     g = k.reshape(kin // group, group, out)
     scale = np.max(np.abs(g), axis=1) / 7.0           # (G, out)
     scale = np.maximum(scale, 1e-12)
     q = np.clip(np.round(g / scale[:, None, :]), -7, 7)
-    return q.reshape(kin, out).astype(np.int8), scale.astype(np.float32)
+    packed = pack_int4(q.reshape(kin, out).astype(np.int8), group)
+    return packed, scale.astype(np.float32)
 
 
 # int4 covers the bulk projection weights; lm_head is quality-sensitive
@@ -137,10 +177,10 @@ _QUANT4_PATTERNS = (
 
 
 def quantize_llama_tree_int4(params: Dict, group: int = 128) -> Dict:
-    """W4 serving quantization: layer projection kernels -> int4 with
-    group-wise scales (`Int4Dense` structure: kernel_q4 + (G, N) scale);
-    lm_head -> per-channel int8 (`Int8Dense`). Pair with
-    `LlamaConfig(weight_quant=True, weight_quant_bits=4)`."""
+    """W4 serving quantization: layer projection kernels -> packed int4
+    with group-wise scales (`Int4Dense` structure: kernel_q4p (K/2, N)
+    int8 + (K/G, N) scale); lm_head -> per-channel int8 (`Int8Dense`).
+    Pair with `LlamaConfig(weight_quant=True, weight_quant_bits=4)`."""
     regexes = [re.compile(p) for p in _QUANT4_PATTERNS]
 
     def rec(tree, prefix=""):
@@ -153,7 +193,7 @@ def quantize_llama_tree_int4(params: Dict, group: int = 128) -> Dict:
                                                 group)
                     rest = {kk: vv for kk, vv in v.items()
                             if kk != "kernel"}
-                    out[k] = {"kernel_q4": jnp.asarray(q, jnp.int4),
+                    out[k] = {"kernel_q4p": jnp.asarray(q),
                               "scale": jnp.asarray(s), **rest}
                 else:
                     out[k] = rec(v, path)

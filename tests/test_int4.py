@@ -1,8 +1,9 @@
 """Group-wise int4 LLM quantization: numerics, structure, kernel parity.
 
 The W4 serving mode (`quantize(bits=4)`, `LlamaConfig.weight_quant_bits=4`)
-stores projection kernels as int4 with group-wise scales and lm_head as
-per-channel int8. The reference serves bf16 only — this mode exists for
+stores projection kernels as PACKED int4 (two values per int8 byte —
+`ops.quant.pack_int4`) with group-wise scales and lm_head as per-channel
+int8. The reference serves bf16 only — this mode exists for
 the decode-bandwidth win on TPU (weights are the dominant decode bytes).
 """
 
@@ -18,7 +19,13 @@ from grove_tpu.config import GroveConfig
 from grove_tpu.infer.generate import greedy_decode
 from grove_tpu.models.grove import GroveModel, init_grove_params
 from grove_tpu.ops.int4_matmul import int4_matmul
-from grove_tpu.ops.quant import quantize_kernel_int4
+from grove_tpu.ops.quant import quantize_kernel_int4, unpack_int4
+
+
+def _dequant(q, s, group=128):
+    """packed (K/2, N) int8 + (K/G, N) scales -> (K, N) f32 weights."""
+    w4 = np.asarray(unpack_int4(jnp.asarray(q), group), np.float32)
+    return (w4 * np.asarray(s)[:, None, :]).reshape(-1, q.shape[-1])
 
 
 @pytest.fixture(scope="module")
@@ -33,10 +40,11 @@ def setup():
 def test_quantize_kernel_int4_roundtrip(rng):
     k = rng.normal(size=(256, 32)).astype(np.float32)
     q, s = quantize_kernel_int4(k, group=128)
-    assert q.dtype == np.int8 and s.shape == (2, 32)
-    assert q.min() >= -7 and q.max() <= 7
-    deq = (q.reshape(2, 128, 32).astype(np.float32)
-           * s[:, None, :]).reshape(256, 32)
+    assert q.dtype == np.int8 and q.shape == (128, 32)   # packed 2/byte
+    assert s.shape == (2, 32)
+    w4 = np.asarray(unpack_int4(jnp.asarray(q), 128))
+    assert w4.min() >= -7 and w4.max() <= 7
+    deq = _dequant(q, s)
     rel = np.linalg.norm(deq - k) / np.linalg.norm(k)
     # 4-bit absmax RTN on gaussians: step ~ 3.5sigma/7 = 0.5sigma, noise
     # sigma/sqrt(12)*step ~ 0.14sigma -> ~12-14% rel. Real checkpoints
@@ -46,8 +54,7 @@ def test_quantize_kernel_int4_roundtrip(rng):
     # exactly-representable weights reconstruct exactly
     grid = rng.integers(-7, 8, size=(256, 32)).astype(np.float32) * 0.25
     q, s = quantize_kernel_int4(grid, group=128)
-    deq = (q.reshape(2, 128, 32).astype(np.float32)
-           * s[:, None, :]).reshape(256, 32)
+    deq = _dequant(q, s)
     np.testing.assert_allclose(deq, grid, rtol=0, atol=1e-6)
 
 
@@ -58,10 +65,8 @@ def test_int4_matmul_kernel_parity(rng):
     x = rng.normal(size=(m, k)).astype(np.float32)
     w = rng.normal(size=(k, n)).astype(np.float32)
     q, s = quantize_kernel_int4(w, group=128)
-    deq = (q.reshape(k // 128, 128, n).astype(np.float32)
-           * s[:, None, :]).reshape(k, n)
-    want = x @ deq
-    got = int4_matmul(jnp.asarray(x), jnp.asarray(q, jnp.int4),
+    want = x @ _dequant(q, s)
+    got = int4_matmul(jnp.asarray(x), jnp.asarray(q),
                       jnp.asarray(s), block_m=64, block_n=128)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=1e-2)
 
@@ -76,12 +81,10 @@ def test_int4_matmul_a8_kernel_parity(rng):
     w = rng.normal(size=(k, n)).astype(np.float32)
     q, s = quantize_kernel_int4(w, group=128)
     xq, sx = quant_act(jnp.asarray(x))
-    got = int4_matmul_a8(xq, sx, jnp.asarray(q, jnp.int4), jnp.asarray(s),
+    got = int4_matmul_a8(xq, sx, jnp.asarray(q), jnp.asarray(s),
                          block_m=64, block_n=128, out_dtype=jnp.float32)
     xd = np.asarray(xq, np.float32) * np.asarray(sx)
-    deq = (q.reshape(k // 128, 128, n).astype(np.float32)
-           * s[:, None, :]).reshape(k, n)
-    want = xd @ deq
+    want = xd @ _dequant(q, s)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
@@ -93,11 +96,9 @@ def test_int4_dense_grouped_einsum_matches_dequant(rng):
     q, s = quantize_kernel_int4(w, group=128)
     x = rng.normal(size=(2, 1, k)).astype(np.float32)
     mod = Int4Dense(n, group=128, dtype=jnp.float32)
-    y = mod.apply({"params": {"kernel_q4": jnp.asarray(q, jnp.int4),
+    y = mod.apply({"params": {"kernel_q4p": jnp.asarray(q),
                               "scale": jnp.asarray(s)}}, jnp.asarray(x))
-    deq = (q.reshape(k // 128, 128, n).astype(np.float32)
-           * s[:, None, :]).reshape(k, n)
-    np.testing.assert_allclose(np.asarray(y), x @ deq, rtol=1e-4,
+    np.testing.assert_allclose(np.asarray(y), x @ _dequant(q, s), rtol=1e-4,
                                atol=1e-4)
 
 
@@ -105,17 +106,16 @@ def test_int4_tree_structure_and_bytes(setup):
     cfg, lm, qlm = setup
     pq = qlm.variables["params"]
     attn = pq["llama"]["layers_0"]["self_attn"]["q_proj"]
-    assert set(attn.keys()) == {"kernel_q4", "scale"}
-    assert attn["kernel_q4"].dtype == jnp.int4
+    assert set(attn.keys()) == {"kernel_q4p", "scale"}
+    assert attn["kernel_q4p"].dtype == jnp.int8
+    d = cfg.llama.hidden_size
+    assert attn["kernel_q4p"].shape == (d // 2, d)   # packed 2/byte
     assert attn["scale"].ndim == 2
     # lm_head stays int8; embeddings and norms untouched
     assert "kernel_q" in pq["lm_head"]["lm_head"]
     assert "embedding" in pq["embed_tokens"]
-    # NOTE: host-side numpy views of int4 are byte-per-element; the HBM
-    # packing claim (2 elements/byte) is asserted on real hardware in
-    # benchmarks/full_scale.py via device memory stats, not here.
     assert pq["llama"]["layers_0"]["mlp"]["down_proj"][
-        "kernel_q4"].dtype == jnp.int4
+        "kernel_q4p"].dtype == jnp.int8
 
 
 def test_int4_forward_close(setup, rng):
@@ -169,7 +169,7 @@ def test_int4_fuse_compose(setup, rng):
     attn = flm.variables["params"]["llama"]["layers_0"]["self_attn"]
     assert "qkv_proj" in attn and "q_proj" not in attn
     d = cfg.llama.hidden_size
-    assert attn["qkv_proj"]["kernel_q4"].shape[-1] == 3 * d
+    assert attn["qkv_proj"]["kernel_q4p"].shape[-1] == 3 * d
     assert attn["qkv_proj"]["scale"].shape[-1] == 3 * d
     nv = cfg.num_video_tokens
     ids = rng.integers(3, 100, size=(1, nv + 6)).astype(np.int32)
@@ -198,3 +198,20 @@ def test_int4_save_pretrained_roundtrip(setup, tmp_path):
                     jax.tree.leaves(back.variables["params"])):
         assert a.dtype == b.dtype, (a.dtype, b.dtype)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int4_int8_view_prefill_math(rng):
+    """The TPU prefill path folds group scales into a per-channel int8
+    VIEW (models/layers.py Int4Dense, act_quant branch). Pin the math on
+    CPU: view dequant == int4 dequant to within one int8 step."""
+    k, n = 512, 64
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    q, s = quantize_kernel_int4(w, group=128)
+    deq4 = _dequant(q, s)
+    wg = np.asarray(unpack_int4(jnp.asarray(q), 128), np.float32)
+    s8 = s.max(axis=0) * (7.0 / 127.0)                    # (N,)
+    q8 = np.clip(np.round(wg * (s[:, None, :] / s8)), -127, 127)
+    assert np.abs(q8).max() <= 127
+    deq8 = (q8 * s8).reshape(k, n)
+    # one int8 step of the per-channel scale bounds the re-quant error
+    np.testing.assert_allclose(deq8, deq4, atol=float(s8.max()) * 0.5 + 1e-7)
