@@ -83,6 +83,14 @@ def parse_args(args=None):
     p.add_argument("--beta2", default=0.95, type=float)
     p.add_argument("--warmup_steps", default=100, type=int)
     p.add_argument("--grad_clip", default=1.0, type=float)
+    p.add_argument("--moment_dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="Adam moment storage (bf16 halves optimizer "
+                        "state; see train/lowmem.py)")
+    p.add_argument("--no_train_embeddings", action="store_true",
+                   help="freeze lm_head + embed_tokens (reference trains "
+                        "them; freezing shrinks trainable 712M -> 450M "
+                        "for single-chip fine-tunes)")
     p.add_argument("--no_freeze", action="store_true",
                    help="train all params (reference trains adapters/heads)")
     p.add_argument("--lora_r", default=0, type=int)
@@ -311,7 +319,8 @@ def _run(args):
         lr=args.lr, betas=(args.beta1, args.beta2),
         warmup_steps=args.warmup_steps, total_steps=total_steps,
         grad_clip=args.grad_clip, train_mask_decoder=args.train_mask_decoder,
-        freeze=not args.no_freeze)
+        freeze=not args.no_freeze, moment_dtype=args.moment_dtype,
+        train_embeddings=not args.no_train_embeddings)
     optimizer = make_optimizer(params, opt_cfg)
     if args.grad_accumulation_steps > 1:
         import optax

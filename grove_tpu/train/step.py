@@ -49,6 +49,13 @@ class OptimizerConfig:
     train_mask_decoder: bool = True
     full_llm: bool = False
     freeze: bool = True
+    # reference trains lm_head + embed_tokens (`train.py:300-311`);
+    # freezing them (False) shrinks trainable params 712M -> 450M for
+    # the single-chip low-memory fine-tune
+    train_embeddings: bool = True
+    # "f32" (optax default) or "bf16" (`train.lowmem.adamw_bf16` —
+    # halves Adam state for the single-chip fine-tune)
+    moment_dtype: str = "f32"
 
 
 def warmup_decay_schedule(cfg: OptimizerConfig):
@@ -62,16 +69,35 @@ def warmup_decay_schedule(cfg: OptimizerConfig):
 
 def trainable_mask(params, cfg: OptimizerConfig):
     pats = list(TRAINABLE_PATTERNS_FINETUNE)
+    if not cfg.train_embeddings:
+        pats = [x for x in pats if x not in (r"lm_head", r"embed_tokens")]
     if cfg.train_mask_decoder:
         pats.append(r"mask_decoder")
     if cfg.full_llm:
         pats.append(r"llama")
     regex = re.compile("|".join(pats))
 
+    # Quantized modules can never train (int kernels have no gradients;
+    # training only their f32 scales would silently train a different
+    # model) — with a quantized frozen base (QLoRA-style fine-tune), a
+    # pattern like `lm_head` matching an Int8Dense must stay frozen.
+    quant_parents = set()
+    for path, v in jax.tree_util.tree_leaves_with_path(params):
+        p = path_str(path)
+        if p.endswith(("kernel_q", "kernel_q4p")):
+            quant_parents.add(p.rsplit("/", 1)[0])
+
     def f(path, v):
+        p = path_str(path)
+        if p.rsplit("/", 1)[0] in quant_parents:
+            return False
+        if not jnp.issubdtype(jnp.asarray(v).dtype
+                              if not hasattr(v, "dtype") else v.dtype,
+                              jnp.inexact):
+            return False
         if not cfg.freeze:
             return True
-        return bool(regex.search(path_str(path)))
+        return bool(regex.search(p))
     return jax.tree_util.tree_map_with_path(f, params)
 
 
@@ -97,6 +123,11 @@ def make_optimizer(params, cfg: OptimizerConfig):
     allocated for frozen params — the ZeRO-adjacent memory saving the
     reference gets from DeepSpeed's requires_grad filtering)."""
     sched = warmup_decay_schedule(cfg)
+    if cfg.moment_dtype == "bf16":
+        from .lowmem import adamw_bf16
+        return adamw_bf16(sched, b1=cfg.betas[0], b2=cfg.betas[1],
+                          weight_decay=cfg.weight_decay,
+                          grad_clip=cfg.grad_clip)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
