@@ -178,13 +178,23 @@ class Int4Dense(nn.Module):
                 preferred_element_type=jnp.float32)
             y = (y * sx * s8).reshape(*lead, self.features)
         elif on_tpu and tokens >= 64:
-            # bf16 view + XLA dot (compute-bound at prefill shapes)
-            wg = unpack_int4(kernel_p, group)
-            deq = (wg.astype(jnp.float32) * scale[:, None, :]).astype(
-                self.dtype).reshape(k, self.features)
-            y = jax.lax.dot_general(
-                x.astype(self.dtype).reshape(tokens, k), deq,
-                (((1,), (0,)), ((), ())))
+            # bf16 view + XLA dot (compute-bound at prefill shapes).
+            # jax.checkpoint so the materialized 2-byte view is
+            # RECOMPUTED in the backward, not kept: without it a QLoRA
+            # fine-tune keeps all 224 projection views alive for the
+            # bwd dots (dx = dy @ view^T) — observed 30 GB peak at full
+            # scale. Free in inference (no grad trace).
+            dt, feats, kk = self.dtype, self.features, k
+
+            def viewdot(x2d, kp, sc):
+                wg = unpack_int4(kp, group)
+                deq = (wg.astype(jnp.float32) * sc[:, None, :]).astype(
+                    dt).reshape(kk, feats)
+                return jax.lax.dot_general(x2d, deq,
+                                           (((1,), (0,)), ((), ())))
+
+            y = jax.checkpoint(viewdot)(
+                x.astype(dt).reshape(tokens, k), kernel_p, scale)
             y = y.reshape(*lead, self.features)
         elif on_tpu:
             from ..ops.int4_matmul import int4_matmul
