@@ -292,7 +292,11 @@ def main():
             stages["sam_encode"] = round(s_sam * 1e3, 2)
             roofline["sam_encode"] = {
                 "ms": round(s_sam * 1e3, 2),
-                "method": f"{ns} launches of batch {b // ns}, wall time",
+                "method": f"{ns} launches of batch {b // ns}, wall time "
+                          "(CAUTION: includes the dev relay's per-launch "
+                          "marshaling of the ~1000-leaf param tree, "
+                          "~5 s/launch — production schedulers keep "
+                          "params resident; prefer --sam_chunk numbers)",
             }
             print(f"  sam_encode ({ns}x batch {b // ns} launches): "
                   f"{s_sam*1e3:.1f} ms", flush=True)
