@@ -149,7 +149,7 @@ class LlamaAttention(nn.Module):
                 v = jnp.repeat(v, reps, axis=2)
             out = multi_head_attention(q, k, v, causal=True, mask=attn_mask)
         elif "k_s" in kv_cache:
-            # int8 KV cache, transposed (B, Hkv, D, C) layout with
+            # int8 KV cache, row-major (B, Hkv, C, D) layout with
             # per-token-per-head absmax scales. Decode (s == 1) runs the
             # fused Pallas kernel that dequantizes in VMEM after int8 HBM
             # reads (ops/decode_attention.py); prefill (s > 1) attends
@@ -160,12 +160,15 @@ class LlamaAttention(nn.Module):
                                                 int8_cache_decode_attention)
             qk, ks = _quantize_kv(k)
             qv, vs_ = _quantize_kv(v)
+            # C sits on SUBLANES so this append updates in place; a
+            # lane-offset DUS (old (B,Hkv,D,C) layout) copies the whole
+            # 50 MB slab per step (profiled: 11 ms of a b16 decode step)
             ck = jax.lax.dynamic_update_slice(
-                kv_cache["k"], qk.transpose(0, 2, 3, 1),
-                (0, 0, 0, cache_offset))
+                kv_cache["k"], qk.transpose(0, 2, 1, 3),
+                (0, 0, cache_offset, 0))
             cv = jax.lax.dynamic_update_slice(
-                kv_cache["v"], qv.transpose(0, 2, 3, 1),
-                (0, 0, 0, cache_offset))
+                kv_cache["v"], qv.transpose(0, 2, 1, 3),
+                (0, 0, cache_offset, 0))
             cks = jax.lax.dynamic_update_slice(
                 kv_cache["k_s"], ks[..., 0].transpose(0, 2, 1),
                 (0, 0, cache_offset))
@@ -174,7 +177,7 @@ class LlamaAttention(nn.Module):
                 (0, 0, cache_offset))
             new_cache = {"k": ck, "v": cv, "k_s": cks, "v_s": cvs}
             if s == 1:
-                cpad = ck.shape[-1]
+                cpad = ck.shape[2]     # (B, Hkv, C, D)
                 kpos = jnp.arange(cpad)[None, :]
                 valid = kpos <= cache_offset
                 if pad_lens is not None:
@@ -349,10 +352,12 @@ def init_kv_caches(cfg: LlamaConfig, batch: int, max_len: int,
     `LlamaAttention` (`_quantize_kv` + the fused decode kernel)."""
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if dtype == jnp.int8:
-        # transposed layout (B, Hkv, D, Cpad): C on vector lanes for the
-        # fused decode kernel; padded to the 128-lane tile, masked by bias
+        # row-major layout (B, Hkv, Cpad, D): D fills the vector lanes,
+        # C (the growing axis) sits on sublanes so per-step appends are
+        # in-place; padded to the 128 tile (scales keep C on lanes),
+        # masked by bias
         cpad = -(-max_len // 128) * 128
-        kshape = (batch, cfg.num_kv_heads, cfg.head_dim, cpad)
+        kshape = (batch, cfg.num_kv_heads, cpad, cfg.head_dim)
         sshape = (batch, cfg.num_kv_heads, cpad)
         return [
             {"k": jnp.zeros(kshape, jnp.int8),

@@ -191,8 +191,8 @@ class ContinuousEngine:
                 for key, buf in layer_cache.items():
                     sl = layer_slab[key]
                     if int8_layout and key in ("k", "v"):
-                        # int8 transposed layout (B, H, D, C): C is dim 3
-                        start = (slot, 0, 0, col - lb)
+                        # int8 row-major layout (B, H, C, D): C is dim 2
+                        start = (slot, 0, col - lb, 0)
                     elif key in ("k_s", "v_s"):
                         start = (slot, 0, col - lb)        # (B, H, C)
                     else:

@@ -19,8 +19,8 @@ from grove_tpu.ops.decode_attention import (decode_attention_reference,
 
 
 def _rand_cache(rng, b, hkv, d, c):
-    kt = jnp.asarray(rng.integers(-127, 128, size=(b, hkv, d, c)), jnp.int8)
-    vt = jnp.asarray(rng.integers(-127, 128, size=(b, hkv, d, c)), jnp.int8)
+    kt = jnp.asarray(rng.integers(-127, 128, size=(b, hkv, c, d)), jnp.int8)
+    vt = jnp.asarray(rng.integers(-127, 128, size=(b, hkv, c, d)), jnp.int8)
     ks = jnp.asarray(rng.uniform(0.001, 0.02, size=(b, hkv, c)),
                      jnp.bfloat16)
     vs = jnp.asarray(rng.uniform(0.001, 0.02, size=(b, hkv, c)),
@@ -46,7 +46,7 @@ def test_kernel_matches_oracle(rng, h, hkv):
 def test_int8_cache_layout_padded():
     cfg = GroveConfig.tiny().llama
     caches = init_kv_caches(cfg, batch=2, max_len=200, dtype=jnp.int8)
-    assert caches[0]["k"].shape == (2, cfg.num_kv_heads, cfg.head_dim, 256)
+    assert caches[0]["k"].shape == (2, cfg.num_kv_heads, 256, cfg.head_dim)
     assert caches[0]["k"].dtype == jnp.int8
     assert caches[0]["k_s"].shape == (2, cfg.num_kv_heads, 256)
 
