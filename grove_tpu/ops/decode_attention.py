@@ -99,8 +99,9 @@ def int8_cache_decode_attention(q, kt, vt, k_s, v_s, bias, *,
     group = h // hkv
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if not interpret:
-        assert d % 128 == 0, d          # slab lane dim on real hardware
+    # d is the slab lane dim; blocks always span the FULL d, which the
+    # TPU tile rule accepts for any size (d < 128 pads lanes — the
+    # LLaMA-7B config uses exactly 128)
 
     # GQA: the kernel tiles kv heads with pltpu.repeat ([kv0 kv1 kv0 kv1]);
     # permute query heads to that order outside (q is tiny), invert after
