@@ -120,6 +120,10 @@ def main():
                    help="W8A8 int8 CLIP + SAM towers (int8 weights AND "
                         "dynamic int8 activations: the towers are "
                         "compute-bound and int8 MXU dots run 2x bf16)")
+    p.add_argument("--static_act", action="store_true",
+                   help="calibrated static per-tensor activation scales "
+                        "for the vision towers (with --vision_quant): "
+                        "removes the per-site dynamic absmax reduce")
     p.add_argument("--llm_act_quant", action="store_true",
                    help="W8A8 LLM on top of the int8 weights (dynamic "
                         "per-token activation quant; speeds the "
@@ -170,10 +174,14 @@ def main():
     if args.vision_quant:
         cfg = dataclasses.replace(
             cfg,
-            clip=dataclasses.replace(cfg.clip, quant_w8a8=True),
-            sam_enc=dataclasses.replace(cfg.sam_enc, quant_w8a8=True))
+            clip=dataclasses.replace(cfg.clip, quant_w8a8=True,
+                                     quant_static_act=args.static_act),
+            sam_enc=dataclasses.replace(cfg.sam_enc, quant_w8a8=True,
+                                        quant_static_act=args.static_act))
     report["fused_qkv"] = args.fused
-    report["vision"] = "int8_w8a8" if args.vision_quant else "bf16"
+    report["vision"] = ("int8_w8a8_static" if args.vision_quant
+                        and args.static_act
+                        else "int8_w8a8" if args.vision_quant else "bf16")
     b = args.batch
     t = cfg.num_frames
     nv = cfg.num_video_tokens
@@ -197,6 +205,13 @@ def main():
         shapes)
     params = jax.jit(lambda: jax.tree.map(
         lambda a: jnp.zeros(a.shape, a.dtype), tgt))()
+    if args.vision_quant and args.static_act:
+        # calibrated scales are 1.0 here (synthetic weights; a zero
+        # act_scale would divide by zero — timing is data-independent
+        # but keep the arithmetic finite)
+        params = jax.tree_util.tree_map_with_path(
+            lambda kp, x: (jnp.ones_like(x)
+                           if "act_scale" in str(kp[-1]) else x), params)
     model = GroveModel(cfg, dtype=jnp.bfloat16)
     # int4 weights are packed two-per-int8-byte (`ops.quant.pack_int4`),
     # so plain itemsize accounting is already HBM-exact

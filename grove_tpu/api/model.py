@@ -132,6 +132,45 @@ class GroveForCausalLM:
         model = GroveModel(cfg, dtype=self.model.dtype)
         return GroveForCausalLM(cfg, model, {"params": params})
 
+    def calibrate(self, clip_frames, sam_frames,
+                  margin: float = 1.0) -> "GroveForCausalLM":
+        """Post-training calibration of static activation scales for the
+        W8A8 vision towers. Call on a `quantize(vision=True)` instance
+        with one (or more, concatenated on batch) representative clip:
+        records per-site absmax during a forward of both encoders,
+        installs per-tensor scales, and returns a NEW instance with
+        `quant_static_act=True` — the serving path then quantizes
+        activations in one fused elementwise op per site instead of a
+        dynamic full-tensor absmax reduce (see ops/quant.py)."""
+        import dataclasses
+
+        from ..models.grove import GroveModel
+        from ..ops.quant import collect_act_stats, install_act_scales
+
+        assert self.cfg.clip.quant_w8a8 and self.cfg.sam_enc.quant_w8a8, \
+            "calibrate() requires a quantize(vision=True) instance"
+        params = self.variables["params"]
+        stats_clip = collect_act_stats(
+            self.model, params, clip_frames,
+            method=type(self.model).encode_video)
+        stats_sam = collect_act_stats(
+            self.model, params, sam_frames,
+            method=type(self.model).encode_grounding)
+        params = dict(params)
+        params["vision_tower"] = install_act_scales(
+            params["vision_tower"], stats_clip["vision_tower"], margin)
+        params["grounding_encoder"] = install_act_scales(
+            params["grounding_encoder"], stats_sam["grounding_encoder"],
+            margin)
+        cfg = dataclasses.replace(
+            self.cfg,
+            clip=dataclasses.replace(self.cfg.clip,
+                                     quant_static_act=True),
+            sam_enc=dataclasses.replace(self.cfg.sam_enc,
+                                        quant_static_act=True))
+        model = GroveModel(cfg, dtype=self.model.dtype)
+        return GroveForCausalLM(cfg, model, {"params": params})
+
     def fuse(self) -> "GroveForCausalLM":
         """Fused qkv/gate_up decode variant (models/fuse.py): bit-identical
         numerics, fewer wider matmuls per LLM layer. Composes with

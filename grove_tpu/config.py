@@ -49,6 +49,11 @@ class ClipVisionConfig:
     # Dense kernels int8 + dynamic per-token activation quant. Patch
     # embedding, adapters and norms stay bf16/f32.
     quant_w8a8: bool = False
+    # Static calibrated per-tensor activation scales instead of the
+    # dynamic per-token absmax (requires `ops.quant.install_act_scales`
+    # after a calibration pass) — removes the per-site full-tensor
+    # reduce + f32 materialization from the serving path.
+    quant_static_act: bool = False
 
     @property
     def grid(self) -> int:
@@ -107,6 +112,9 @@ class SamEncoderConfig:
     # compute-bound, and int8 x int8 MXU dots run 2.0x bf16 on v5e.
     # Patchify, neck, adapters, norms and rel-pos stay bf16/f32.
     quant_w8a8: bool = False
+    # Static calibrated per-tensor activation scales (see
+    # ClipVisionConfig.quant_static_act).
+    quant_static_act: bool = False
 
     @property
     def grid(self) -> int:

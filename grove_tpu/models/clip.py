@@ -44,7 +44,8 @@ def _dense(cfg: ClipVisionConfig, features: int, dtype, name: str):
     `ops.quant.quantize_clip_tree`)."""
     if cfg.quant_w8a8:
         return Int8Dense(features, dtype=dtype, use_bias=True,
-                         act_quant=True, name=name)
+                         act_quant=True, static_act=cfg.quant_static_act,
+                         name=name)
     return nn.Dense(features, dtype=dtype, name=name)
 
 
@@ -105,6 +106,7 @@ class ClipVideoAdapter(nn.Module):
         grid = seq.reshape(b, t, h, w, c)
         grid = SpatioTemporalConvAdapter(dtype=self.dtype,
                                          quant_w8a8=cfg.quant_w8a8,
+                                         static_act=cfg.quant_static_act,
                                          name="adapter")(grid)
         seq = grid.reshape(bt, p, c)
         return jnp.concatenate([cls_tok, seq], axis=1)

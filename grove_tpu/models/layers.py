@@ -28,6 +28,30 @@ def quant_act(x):
     return xq, sx
 
 
+def quant_act_static(x, scale):
+    """Static-scale int8 activation quantization: x ~= xq * scale.
+
+    `scale` is a calibrated per-tensor f32 scalar (see
+    `ops.quant.install_act_scales`). Unlike `quant_act` there is no
+    reduction, so XLA fuses the whole quantize into one elementwise pass
+    over x (the dynamic absmax forces a separate full-tensor reduce plus
+    an f32 materialization per site — measured ~60 ms of the b4
+    full-scale SAM stage, ~18 ms of CLIP)."""
+    xf = x.astype(jnp.float32)
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def _sow_absmax(mod: nn.Module, name: str, x) -> None:
+    """Record a per-tensor absmax under the `act_stats` collection when a
+    calibration pass made it mutable (`ops.quant.calibrate_act_scales`);
+    free otherwise (nothing is traced)."""
+    if mod.is_mutable_collection("act_stats"):
+        mod.sow("act_stats", name, jnp.max(jnp.abs(x.astype(jnp.float32))),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.zeros((), jnp.float32))
+
+
 class Int8Dense(nn.Module):
     """int8-weight linear: y = (x @ W_int8) * per-channel scale [+ bias].
 
@@ -50,6 +74,12 @@ class Int8Dense(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_bias: bool = False
     act_quant: bool = False
+    # static calibrated per-tensor activation scale instead of the
+    # dynamic per-token absmax: adds an `act_scale` param (installed by
+    # `ops.quant.install_act_scales` after a calibration pass) and turns
+    # the quantize into a single fused elementwise op — see
+    # `quant_act_static`.
+    static_act: bool = False
 
     @nn.compact
     def __call__(self, x, sx=None):
@@ -64,7 +94,13 @@ class Int8Dense(nn.Module):
         want_w8a8 = self.act_quant and (x.ndim < 3 or x.shape[-2] > 1)
         if sx is not None or want_w8a8:
             if sx is None:
-                x, sx = quant_act(x)
+                _sow_absmax(self, "absmax", x)
+                if self.static_act:
+                    ascale = self.param("act_scale", nn.initializers.ones,
+                                        (), jnp.float32)
+                    x, sx = quant_act_static(x, ascale)
+                else:
+                    x, sx = quant_act(x)
             # else: caller already quantized (e.g. before a layout
             # shuffle, so the cheap int8 bytes move instead of bf16)
             y = jax.lax.dot_general(
@@ -270,16 +306,19 @@ class MLPBlock(nn.Module):
     act: Callable = nn.gelu
     dtype: jnp.dtype = jnp.float32
     quant_w8a8: bool = False      # int8 W8A8 serving mode (see Int8Dense)
+    static_act: bool = False      # calibrated static act scales
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         if self.quant_w8a8:
             x = Int8Dense(self.mlp_dim, dtype=self.dtype, use_bias=True,
-                          act_quant=True, name="lin1")(x)
+                          act_quant=True, static_act=self.static_act,
+                          name="lin1")(x)
             x = self.act(x)
             return Int8Dense(d, dtype=self.dtype, use_bias=True,
-                             act_quant=True, name="lin2")(x)
+                             act_quant=True, static_act=self.static_act,
+                             name="lin2")(x)
         x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
         x = self.act(x)
         return nn.Dense(d, dtype=self.dtype, name="lin2")(x)
@@ -295,13 +334,15 @@ class SpatioTemporalConvAdapter(nn.Module):
     kernel: Tuple[int, int, int] = (3, 3, 3)
     dtype: jnp.dtype = jnp.float32
     quant_w8a8: bool = False      # int8 taps + per-tensor act scale
+    static_act: bool = False      # calibrated static act scales
 
     @nn.compact
     def __call__(self, x):  # (b, t, h, w, c)
         c = x.shape[-1]
         alpha = self.param("alpha", nn.initializers.zeros, (1,), jnp.float32)
         y = _Conv3dShifts(c, self.kernel, dtype=self.dtype,
-                          quant_w8a8=self.quant_w8a8, name="conv3d")(x)
+                          quant_w8a8=self.quant_w8a8,
+                          static_act=self.static_act, name="conv3d")(x)
         y = nn.relu(y)
         return (jnp.tanh(alpha).astype(x.dtype) * y + x).astype(x.dtype)
 
@@ -321,6 +362,7 @@ class _Conv3dShifts(nn.Module):
     kernel: Tuple[int, int, int]
     dtype: jnp.dtype
     quant_w8a8: bool = False
+    static_act: bool = False
 
     @nn.compact
     def __call__(self, x):  # (b, t, h, w, c)
@@ -361,9 +403,15 @@ class _Conv3dShifts(nn.Module):
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         b, t, hh, ww, _ = x.shape
-        xf = x.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
-        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        _sow_absmax(self, "absmax", x)
+        if self.static_act:
+            sx = self.param("act_scale", nn.initializers.ones,
+                            (), jnp.float32)
+            xq, _ = quant_act_static(x, sx)
+        else:
+            xf = x.astype(jnp.float32)
+            sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
         xp = jnp.pad(xq, ((0, 0), (kt // 2, kt - 1 - kt // 2),
                           (kh // 2, kh - 1 - kh // 2),
                           (kw // 2, kw - 1 - kw // 2), (0, 0)))

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from ..config import SamEncoderConfig
 from ..ops.attention import multi_head_attention
 from .layers import (Int8Dense, LayerNorm2d, MLPBlock,
-                     SpatioTemporalConvAdapter, quant_act)
+                     SpatioTemporalConvAdapter, _sow_absmax, quant_act,
+                     quant_act_static)
 
 
 def _dense(cfg: SamEncoderConfig, features: int, dtype, name: str):
@@ -37,7 +38,8 @@ def _dense(cfg: SamEncoderConfig, features: int, dtype, name: str):
     `ops.quant.quantize_sam_tree`)."""
     if cfg.quant_w8a8:
         return Int8Dense(features, dtype=dtype, use_bias=True,
-                         act_quant=True, name=name)
+                         act_quant=True, static_act=cfg.quant_static_act,
+                         name=name)
     return nn.Dense(features, use_bias=True, dtype=dtype, name=name)
 
 
@@ -130,19 +132,29 @@ class SamAttention(nn.Module):
             # then shuffles int8 bytes (half the bf16 traffic), and the
             # quantize chain doesn't break the partition->matmul fusion
             # (measured: in-window quant made the block SLOWER than bf16)
-            x, sx = quant_act(x)
+            _sow_absmax(self, "qkv_absmax", x)
+            if cfg.quant_static_act:
+                # per-tensor scalar: no per-token scale tensor to
+                # partition alongside x, no absmax reduce pass
+                asc = self.param("qkv_act_scale", nn.initializers.ones,
+                                 (), jnp.float32)
+                x, sx = quant_act_static(x, asc)
+            else:
+                x, sx = quant_act(x)
         if win > 0:
             hw = (win, win)
             x, pad_hw = window_partition(x, win)      # (nW, win, win, C)
-            if sx is not None:
+            if sx is not None and getattr(sx, "ndim", 0) > 1:
                 sx, _ = window_partition(sx, win)
             nb, s = x.shape[0], win * win
         else:
             hw = (h, w)
             nb, s = b, h * w
         if sx is not None:
+            sx_arg = (sx if getattr(sx, "ndim", 0) == 0
+                      else sx.reshape(nb, s, 1))
             qkv = _dense(cfg, 3 * c, self.dtype, "qkv")(
-                x.reshape(nb, s, c), sx.reshape(nb, s, 1))
+                x.reshape(nb, s, c), sx_arg)
         else:
             qkv = _dense(cfg, 3 * c, self.dtype, "qkv")(x.reshape(nb, s, c))
         q, k, v = jnp.split(qkv, 3, axis=-1)          # (nb, s, c) raw
@@ -200,6 +212,7 @@ class SamBlock(nn.Module):
                          name="norm2")(x)
         x = x + MLPBlock(int(cfg.embed_dim * cfg.mlp_ratio),
                          dtype=self.dtype, quant_w8a8=cfg.quant_w8a8,
+                         static_act=cfg.quant_static_act,
                          name="mlp")(h)
         return x
 
@@ -273,6 +286,7 @@ class SamImageEncoder(nn.Module):
                 grid5 = x.reshape(b, t, g, g, cfg.embed_dim)
                 grid5 = SpatioTemporalConvAdapter(
                     dtype=self.dtype, quant_w8a8=cfg.quant_w8a8,
+                    static_act=cfg.quant_static_act,
                     name=f"adapters_{n_adapter}")(grid5)
                 x = grid5.reshape(b * t, g, g, cfg.embed_dim)
                 n_adapter += 1
