@@ -162,6 +162,8 @@ def cider_d(gts: Dict[str, List[str]], res: Dict[str, str],
 
 
 def caption_metrics(gts: Dict[str, List[str]], res: Dict[str, str]) -> Dict:
+    from .spice import spice_rule
+
     b = bleu(gts, res)
     meteor = meteor_corpus(gts, res)
     return {
@@ -176,5 +178,12 @@ def caption_metrics(gts: Dict[str, List[str]], res: Dict[str, str]) -> Dict:
         "METEOR": meteor,
         "METEOR_exact_stem": meteor,
         "METEOR_variant": "exact+stem (no WordNet/paraphrase; see meteor.py)",
-        "SPICE": None,    # needs Java CoreNLP; not faked
+        # the exact jar metric needs Java CoreNLP (dependency parse +
+        # WordNet); the plain key stays None — never faked. SPICE_rule
+        # is the same tuple-F1 over a rule-based scene graph
+        # (evals/spice.py), useful for relative comparisons only.
+        "SPICE": None,
+        "SPICE_rule": spice_rule(gts, res),
+        "SPICE_variant": ("rule-based scene graph, exact-lemma matching "
+                          "(no CoreNLP/WordNet; see spice.py)"),
     }
