@@ -1,14 +1,23 @@
 """Benchmark: grounded-caption clips/sec on one chip, end-to-end.
 
-Runs the full single-clip inference path (CLIP encode -> SAM encode ->
-LM prefill + greedy KV decode -> grounding head) on the structurally-complete
-`GroveConfig.small()` model with synthetic frames, everything inside jitted
-calls so the axon relay's per-launch overhead doesn't pollute the numbers
+Primary path (TPU): run the REFERENCE-SCALE model (8.42B: LLaMA-7B-class
++ CLIP-L/336 + SAM-H/512) in the best serving mode (int4 LLM weights,
+int8 KV cache, W8A8 vision towers with static calibrated activation
+scales) via `benchmarks/full_scale.py` in a budgeted subprocess and
+report its end-to-end clips/s. `vs_baseline` compares against this
+repo's FIRST full-scale measurement (BENCH_FULL.json, 2.093 clips/s at
+batch 8 — the reference itself publishes no numbers, see BASELINE.md).
+The persistent XLA compilation cache (warmed during development on this
+machine) makes the at-scale run take minutes, not the ~28 min a cold
+compile costs; on any failure or timeout the bench falls back to the
+scaled-down `GroveConfig.small()` regression metric below.
+
+Fallback path (CPU, or full-scale failure): the structurally-complete
+small config with synthetic frames, everything inside jitted calls so
+the axon relay's per-launch overhead doesn't pollute the numbers
 (see .claude/skills/verify/SKILL.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is clips/sec relative to the round-1 recorded value in
-BENCH_BASELINE.json (1.0 on the first run).
 """
 
 import json
@@ -22,8 +31,41 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BASELINE_FILE = os.path.join(os.path.dirname(__file__),
-                             "BENCH_BASELINE.json")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(REPO, "BENCH_BASELINE.json")
+# first recorded full-scale e2e (BENCH_FULL.json, batch 8, int8 W):
+# the anchor every later at-scale number is compared against
+FULL_BASELINE_CLIPS = 2.093
+FULL_BUDGET_S = int(os.environ.get("GRAFT_BENCH_FULL_BUDGET_S", "2100"))
+
+
+def try_full_scale() -> float | None:
+    """Run the at-scale bench in a budgeted subprocess; None on failure."""
+    out = "/tmp/bench_full_scale.json"
+    try:
+        os.remove(out)
+    except OSError:
+        pass
+    cmd = [sys.executable,
+           os.path.join(REPO, "benchmarks", "full_scale.py"),
+           "--batch", "16", "--int4", "--vision_quant",
+           "--llm_act_quant", "--kv_int8", "--sam_chunk", "4",
+           "--static_act", "--iters", "2", "--output", out]
+    try:
+        subprocess.run(cmd, check=True, timeout=FULL_BUDGET_S,
+                       stdout=sys.stderr, stderr=sys.stderr)
+        with open(out) as f:
+            return float(json.load(f)["clips_per_sec"])
+    except Exception as e:  # timeout, OOM, relay wedge, parse error
+        print(f"bench: full-scale attempt failed ({type(e).__name__}: "
+              f"{e}); falling back to small config",
+              file=sys.stderr, flush=True)
+        return None
 
 
 def wait_for_tpu(attempts: int = 12, probe_timeout: int = 120,
@@ -66,6 +108,17 @@ BATCH_CLIPS = 32  # clips per launch: throughput saturates here (batch sweep
 
 def main():
     wait_for_tpu()
+    if jax.default_backend() == "tpu":
+        full = try_full_scale()
+        if full is not None:
+            print(json.dumps({
+                "metric": "grove_full_scale_clips_per_sec_per_chip",
+                "value": round(full, 4),
+                "unit": "clips/s (8.42B model, b16, int4 W / int8 KV / "
+                        "W8A8-static vision, 64 new tokens)",
+                "vs_baseline": round(full / FULL_BASELINE_CLIPS, 4),
+            }))
+            return
     from grove_tpu.config import GroveConfig
     from grove_tpu.infer.generate import greedy_decode
     from grove_tpu.models.grove import GroveModel, init_grove_params

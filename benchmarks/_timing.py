@@ -26,11 +26,21 @@ Every rule below was learned by catching a wrong number (rounds 1-2):
   a flat reshape forces a full re-tiling copy (~6 ms on 38 MB, measured).
 """
 
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: verified to work through the axon relay
+# (18 s -> 1.5 s on a recompiled jit). Shared by every benchmark that
+# imports this module, so repeated full-scale runs skip the multi-minute
+# SAM-H/LLM compiles. Caches executables only — timing is unaffected.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def fetch(x):

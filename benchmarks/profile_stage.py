@@ -42,10 +42,15 @@ def parse_trace(trace_dir):
     tpu_pids = {e["pid"] for e in events
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in str(e.get("args", {}).get("name", ""))}
+    # per-op events live on the "XLA Ops" thread; the "XLA Modules"
+    # thread carries one whole-executable span that would double-count
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and "XLA Ops" in str(e.get("args", {}).get("name", ""))}
     per_op = collections.Counter()
     for e in events:
         if (e.get("ph") == "X" and e.get("pid") in tpu_pids
-                and "dur" in e):
+                and (e["pid"], e.get("tid")) in op_tids and "dur" in e):
             per_op[e.get("name", "?")] += e["dur"]
     return per_op
 
@@ -57,20 +62,34 @@ def print_table(per_op, top, total_scale=1.0):
     print(f"{'us':>10}  {'%':>5}  op")
     for name, us in per_op.most_common(top):
         print(f"{us:>10.0f}  {100*us/total:>5.1f}  {name[:90]}")
-    # coarse buckets
+    # coarse buckets; custom-call events carry the KERNEL name, so
+    # classify by HLO opcode stem and call everything unknown a kernel
+    hlo_opcodes = {
+        "fusion", "copy", "copy-start", "copy-done", "transpose", "dot",
+        "convolution", "reduce", "reduce-window", "dynamic-update-slice",
+        "dynamic-slice", "slice", "concatenate", "broadcast", "reshape",
+        "bitcast", "add", "multiply", "convert", "select", "compare",
+        "pad", "iota", "constant", "parameter", "tuple",
+        "get-tuple-element", "all-reduce", "all-gather", "scatter",
+        "gather", "rng", "exponential", "log", "tanh", "sort", "while",
+        "conditional", "infeed", "outfeed", "custom-call",
+    }
     buckets = collections.Counter()
     for name, us in per_op.items():
         n = name.lower()
-        if "custom-call" in n or "tpu_custom_call" in n:
-            buckets["pallas kernels"] += us
-        elif n.startswith("copy") or ".copy" in n or "transpose" in n:
+        stem = n.split(".", 1)[0]
+        if stem not in hlo_opcodes and not n.startswith("jit"):
+            buckets["kernels/custom-calls"] += us
+        elif stem.startswith("copy") or stem == "transpose":
             buckets["copies/transposes"] += us
-        elif "convolution" in n or "dot" in n:
+        elif stem in ("convolution", "dot"):
             buckets["dots/convs"] += us
-        elif "reduce" in n:
+        elif stem.startswith("reduce"):
             buckets["reduces"] += us
-        elif "fusion" in n:
+        elif stem == "fusion":
             buckets["fusions (elementwise etc)"] += us
+        elif stem in ("dynamic-update-slice", "dynamic-slice"):
+            buckets["dynamic slices"] += us
         else:
             buckets["other"] += us
     print("\nbuckets:")

@@ -54,13 +54,21 @@ class ClipAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, sx=None):  # int8 x + sx in the W8A8 path
         cfg = self.cfg
         b, s, d = x.shape
         hd = d // cfg.num_heads
-        q = _dense(cfg, d, self.dtype, "q_proj")(x)
-        k = _dense(cfg, d, self.dtype, "k_proj")(x)
-        v = _dense(cfg, d, self.dtype, "v_proj")(x)
+        if cfg.quant_w8a8:
+            # one LayerNormQuant-produced int8 input feeds all three
+            # projections (previously each dense re-quantized the same
+            # activations)
+            q = _dense(cfg, d, self.dtype, "q_proj")(x, sx)
+            k = _dense(cfg, d, self.dtype, "k_proj")(x, sx)
+            v = _dense(cfg, d, self.dtype, "v_proj")(x, sx)
+        else:
+            q = _dense(cfg, d, self.dtype, "q_proj")(x)
+            k = _dense(cfg, d, self.dtype, "k_proj")(x)
+            v = _dense(cfg, d, self.dtype, "v_proj")(x)
         q = q.reshape(b, s, cfg.num_heads, hd)
         k = k.reshape(b, s, cfg.num_heads, hd)
         v = v.reshape(b, s, cfg.num_heads, hd)
@@ -75,16 +83,32 @@ class ClipEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
+        cfg = self.cfg
+        attn = ClipAttention(cfg, dtype=self.dtype, name="self_attn")
+        if cfg.quant_w8a8:
+            from .layers import LayerNormQuant
+
+            hq, sx = LayerNormQuant(eps=cfg.layer_norm_eps,
+                                    static_act=cfg.quant_static_act,
+                                    name="layer_norm1")(x)
+            x = x + attn(hq, sx)
+            hq, sx = LayerNormQuant(eps=cfg.layer_norm_eps,
+                                    static_act=cfg.quant_static_act,
+                                    name="layer_norm2")(x)
+            h = _dense(cfg, cfg.intermediate_size, self.dtype,
+                       "fc1")(hq, sx)
+            h = h * jax.nn.sigmoid(1.702 * h)
+            h = _dense(cfg, cfg.hidden_size, self.dtype, "fc2")(h)
+            return x + h
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                          dtype=self.dtype, name="layer_norm1")(x)
-        x = x + ClipAttention(self.cfg, dtype=self.dtype, name="self_attn")(h)
-        h = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
+        x = x + attn(h)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                          dtype=self.dtype, name="layer_norm2")(x)
-        h = _dense(self.cfg, self.cfg.intermediate_size, self.dtype,
-                   "fc1")(h)
+        h = _dense(cfg, cfg.intermediate_size, self.dtype, "fc1")(h)
         # OpenAI CLIP uses quick_gelu: x * sigmoid(1.702 x)
         h = h * jax.nn.sigmoid(1.702 * h)
-        h = _dense(self.cfg, self.cfg.hidden_size, self.dtype, "fc2")(h)
+        h = _dense(cfg, cfg.hidden_size, self.dtype, "fc2")(h)
         return x + h
 
 

@@ -250,6 +250,47 @@ class Int4Dense(nn.Module):
         return y.astype(self.dtype)
 
 
+class LayerNormQuant(nn.Module):
+    """LayerNorm that emits its output already int8-quantized for the
+    W8A8 serving path: (x) -> (xq int8, sx scale).
+
+    Param-compatible with `nn.LayerNorm` ({scale, bias}) so quantized
+    checkpoints keep the same tree; owns the site's `act_scale` param in
+    static mode. Dynamic mode quantizes per token (bit-identical to the
+    previous LN-then-`quant_act` chain); static mode dispatches the
+    fused one-pass Pallas kernel (`ops.fused_ln.layernorm_quant`) on
+    TPU. Also collapses multi-consumer sites (CLIP's q/k/v all read
+    layer_norm1's output) into ONE quantize.
+    """
+    eps: float = 1e-6
+    static_act: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # (..., C) float -> (int8, scale)
+        c = x.shape[-1]
+        g = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.static_act and not self.is_mutable_collection("act_stats"):
+            from ..ops.fused_ln import layernorm_quant
+
+            ascale = self.param("act_scale", nn.initializers.ones,
+                                (), jnp.float32)
+            return layernorm_quant(x, g, b, ascale, eps=self.eps), ascale
+        # dynamic path (also the calibration pass: stats are the
+        # NORMALIZED output's absmax, matching what static mode scales)
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        d = xf - mu
+        var = (d * d).mean(-1, keepdims=True)
+        y = d * jax.lax.rsqrt(var + self.eps) * g + b
+        _sow_absmax(self, "absmax", y)
+        if self.static_act:
+            ascale = self.param("act_scale", nn.initializers.ones,
+                                (), jnp.float32)
+            return quant_act_static(y, ascale)
+        return quant_act(y)
+
+
 class RMSNorm(nn.Module):
     """LLaMA RMSNorm; stats in fp32."""
     eps: float = 1e-6
@@ -309,12 +350,12 @@ class MLPBlock(nn.Module):
     static_act: bool = False      # calibrated static act scales
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, sx=None):
         d = x.shape[-1]
         if self.quant_w8a8:
             x = Int8Dense(self.mlp_dim, dtype=self.dtype, use_bias=True,
                           act_quant=True, static_act=self.static_act,
-                          name="lin1")(x)
+                          name="lin1")(x, sx)
             x = self.act(x)
             return Int8Dense(d, dtype=self.dtype, use_bias=True,
                              act_quant=True, static_act=self.static_act,

@@ -27,9 +27,8 @@ import jax.numpy as jnp
 
 from ..config import SamEncoderConfig
 from ..ops.attention import multi_head_attention
-from .layers import (Int8Dense, LayerNorm2d, MLPBlock,
-                     SpatioTemporalConvAdapter, _sow_absmax, quant_act,
-                     quant_act_static)
+from .layers import (Int8Dense, LayerNorm2d, LayerNormQuant, MLPBlock,
+                     SpatioTemporalConvAdapter, quant_act)
 
 
 def _dense(cfg: SamEncoderConfig, features: int, dtype, name: str):
@@ -119,28 +118,20 @@ class SamAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, C)
+    def __call__(self, x, sx=None):  # (B, H, W, C); int8 x + sx in W8A8
         cfg = self.cfg
         b, h, w, c = x.shape
         nh = cfg.num_heads
         hd = c // nh
 
         win = self.window
-        sx = None
-        if cfg.quant_w8a8:
-            # quantize on the unpartitioned grid: the window partition
-            # then shuffles int8 bytes (half the bf16 traffic), and the
-            # quantize chain doesn't break the partition->matmul fusion
-            # (measured: in-window quant made the block SLOWER than bf16)
-            _sow_absmax(self, "qkv_absmax", x)
-            if cfg.quant_static_act:
-                # per-tensor scalar: no per-token scale tensor to
-                # partition alongside x, no absmax reduce pass
-                asc = self.param("qkv_act_scale", nn.initializers.ones,
-                                 (), jnp.float32)
-                x, sx = quant_act_static(x, asc)
-            else:
-                x, sx = quant_act(x)
+        if cfg.quant_w8a8 and sx is None:
+            # standalone use without a fused-LN producer: quantize on
+            # the unpartitioned grid (the window partition then shuffles
+            # int8 bytes at half the bf16 traffic; in-window quant
+            # measured SLOWER than bf16). SamBlock normally hands us the
+            # already-quantized LayerNormQuant output instead.
+            x, sx = quant_act(x)
         if win > 0:
             hw = (win, win)
             x, pad_hw = window_partition(x, win)      # (nW, win, win, C)
@@ -201,20 +192,31 @@ class SamBlock(nn.Module):
     def __call__(self, x):  # (B, H, W, C)
         cfg = self.cfg
         shortcut = x
+        attn = SamAttention(cfg,
+                            input_size=(self.window_size or cfg.grid),
+                            window=self.window_size,
+                            dtype=self.dtype, name="attn")
+        mlp = MLPBlock(int(cfg.embed_dim * cfg.mlp_ratio),
+                       dtype=self.dtype, quant_w8a8=cfg.quant_w8a8,
+                       static_act=cfg.quant_static_act, name="mlp")
+        if cfg.quant_w8a8:
+            # norms emit their output already int8 (one fused pass in
+            # static mode — see LayerNormQuant); the residual stream
+            # stays in the compute dtype
+            xq, sx = LayerNormQuant(eps=cfg.layer_norm_eps,
+                                    static_act=cfg.quant_static_act,
+                                    name="norm1")(x)
+            x = shortcut + attn(xq, sx)
+            hq, s2 = LayerNormQuant(eps=cfg.layer_norm_eps,
+                                    static_act=cfg.quant_static_act,
+                                    name="norm2")(x)
+            return x + mlp(hq, s2)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm1")(x)
-        x = SamAttention(cfg,
-                         input_size=(self.window_size or cfg.grid),
-                         window=self.window_size,
-                         dtype=self.dtype, name="attn")(x)
-        x = shortcut + x
+        x = shortcut + attn(x)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm2")(x)
-        x = x + MLPBlock(int(cfg.embed_dim * cfg.mlp_ratio),
-                         dtype=self.dtype, quant_w8a8=cfg.quant_w8a8,
-                         static_act=cfg.quant_static_act,
-                         name="mlp")(h)
-        return x
+        return x + mlp(h)
 
 
 class _PatchEmbed(nn.Module):

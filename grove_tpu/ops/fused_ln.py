@@ -1,0 +1,75 @@
+"""Fused LayerNorm -> static int8 quantize, one HBM pass.
+
+In the W8A8-static serving path every transformer block runs
+LayerNorm -> quantize before its projections. XLA lowers that as three
+passes over the activation (a stats reduce, a normalize-apply fusion,
+and a clamp/convert fusion — profiled ~44 ms of reduces plus ~59 ms of
+clamp_convert in the b4 SAM-H stage), because a reduce cannot fuse with
+consumers of its own input. This kernel does all of it in one pass:
+read bf16, f32 row stats in VMEM, normalize, scale by the calibrated
+activation scale, write int8 — 3 bytes/element of traffic instead of 9.
+
+The calibrated act_scale folds into gamma/beta OUTSIDE the kernel
+(C-sized host math): q = clip(round((x-mu)*rsqrt(var+eps) * (g/s) +
+(b/s))), so the kernel needs no scalar plumbing.
+
+Reference analogue: none (the reference serves bf16 via HF/torch;
+LayerNorm semantics from `image_encoder.py` / `modeling_clip.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
+    xf = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    d = xf - mu
+    var = jnp.mean(d * d, axis=1, keepdims=True)
+    y = d * jax.lax.rsqrt(var + eps) * g_ref[...] + b_ref[...]
+    o_ref[...] = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def layernorm_quant(x, gamma, beta, act_scale, *, eps: float = 1e-6,
+                    block_rows: int = 256):
+    """LayerNorm over the last axis (f32 stats) then static int8 quant.
+
+    x: (..., C) float; gamma/beta: (C,) f32; act_scale: f32 scalar.
+    Returns int8 of x's shape with ln(x) ~= out * act_scale.
+    Dispatches the fused Pallas kernel on TPU when C is lane-aligned;
+    identical-semantics XLA ops otherwise (CPU tests, odd widths).
+    """
+    c = x.shape[-1]
+    gs = (gamma / act_scale).astype(jnp.float32)
+    bs = (beta / act_scale).astype(jnp.float32)
+    if c % 128 == 0:
+        lead = x.shape[:-1]
+        n = 1
+        for d_ in lead:
+            n *= d_
+        x2 = x.reshape(n, c)
+        grid = (pl.cdiv(n, block_rows),)
+        out = pl.pallas_call(
+            functools.partial(_kernel, eps=eps),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, c), jnp.int8),
+            interpret=jax.default_backend() != "tpu",
+        )(x2, gs.reshape(1, c), bs.reshape(1, c))
+        return out.reshape(*lead, c)
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    d = xf - mu
+    var = (d * d).mean(-1, keepdims=True)
+    y = d * jax.lax.rsqrt(var + eps) * gs + bs
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)

@@ -18,6 +18,13 @@ import jax  # noqa: E402
 # jax.config wins over both, so force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeated suite runs skip recompiles
+# (the big model-forward tests dominate suite time on a 1-CPU host).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

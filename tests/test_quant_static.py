@@ -54,18 +54,22 @@ def test_sam_static_act_calibration(rng):
     out_dyn = dyn.apply({"params": pq}, frames)
 
     stats = collect_act_stats(dyn, pq, frames)
-    # one stat per quant site: attn pre-partition, both MLP denses,
-    # the video adapter's conv taps
-    assert "qkv_absmax" in stats["blocks_0"]["attn"]
-    assert "absmax" in stats["blocks_0"]["mlp"]["lin1"]
+    # one stat per quant site: the fused norms (feeding qkv and mlp
+    # lin1), the post-gelu lin2, the proj, the adapter's conv taps
+    assert "absmax" in stats["blocks_0"]["norm1"]
+    assert "absmax" in stats["blocks_0"]["norm2"]
+    assert "absmax" in stats["blocks_0"]["mlp"]["lin2"]
+    assert "absmax" in stats["blocks_0"]["attn"]["proj"]
     assert "absmax" in stats["adapters_0"]["conv3d"]
     # multi-batch merge is an elementwise max
     merged = merge_act_stats(stats, stats)
     ps = install_act_scales(pq, merged)
-    qkv_scale = ps["blocks_0"]["attn"]["qkv_act_scale"]
-    assert float(np.asarray(qkv_scale)) > 0
-    assert "act_scale" in ps["blocks_0"]["mlp"]["lin1"]
+    assert float(np.asarray(ps["blocks_0"]["norm1"]["act_scale"])) > 0
+    assert "act_scale" in ps["blocks_0"]["mlp"]["lin2"]
     assert "act_scale" in ps["adapters_0"]["conv3d"]
+    # LN-fused sites own the scale; their consumers don't re-quantize
+    assert "act_scale" not in ps["blocks_0"]["attn"]["qkv"]
+    assert "act_scale" not in ps["blocks_0"]["mlp"]["lin1"]
 
     st = SamImageEncoder(cfg=_with(cfg, quant_w8a8=True,
                                    quant_static_act=True),
@@ -94,9 +98,13 @@ def test_clip_static_act_calibration(rng):
     out_dyn, _ = dyn.apply({"params": pq}, frames)
 
     stats = collect_act_stats(dyn, pq, frames)
-    assert "absmax" in stats["layers_0"]["self_attn"]["q_proj"]
+    assert "absmax" in stats["layers_0"]["layer_norm1"]
+    assert "absmax" in stats["layers_0"]["layer_norm2"]
     ps = install_act_scales(pq, stats)
-    assert "act_scale" in ps["layers_0"]["fc1"]
+    assert "act_scale" in ps["layers_0"]["layer_norm1"]
+    # q/k/v/fc1 consume the fused-LN int8 output; no per-dense scale
+    assert "act_scale" not in ps["layers_0"]["self_attn"]["q_proj"]
+    assert "act_scale" not in ps["layers_0"]["fc1"]
 
     st = ClipVisionTower(cfg=_with(cfg, quant_w8a8=True,
                                    quant_static_act=True),
