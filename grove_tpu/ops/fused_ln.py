@@ -36,18 +36,23 @@ def _kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
 
 
 def layernorm_quant(x, gamma, beta, act_scale, *, eps: float = 1e-6,
-                    block_rows: int = 256):
+                    block_rows: int = 1024, use_kernel: bool = False):
     """LayerNorm over the last axis (f32 stats) then static int8 quant.
 
     x: (..., C) float; gamma/beta: (C,) f32; act_scale: f32 scalar.
     Returns int8 of x's shape with ln(x) ~= out * act_scale.
-    Dispatches the fused Pallas kernel on TPU when C is lane-aligned;
-    identical-semantics XLA ops otherwise (CPU tests, odd widths).
+
+    Dispatch note (measured at full scale): the Pallas kernel wins IN
+    ISOLATION (0.11 ms vs 0.28 for the XLA chain at 32768x1280,
+    benchmarks/ln_probe.py), but IN-GRAPH it is a fusion barrier — the
+    preceding residual add can no longer fuse into the stats pass and
+    CLIP regressed 591 -> 667 ms — so the default is the XLA chain and
+    `use_kernel` stays opt-in for isolated/streaming uses.
     """
     c = x.shape[-1]
     gs = (gamma / act_scale).astype(jnp.float32)
     bs = (beta / act_scale).astype(jnp.float32)
-    if c % 128 == 0:
+    if use_kernel and c % 128 == 0:
         lead = x.shape[:-1]
         n = 1
         for d_ in lead:

@@ -181,10 +181,12 @@ def _grouped_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
         logits = logits + bias_h + bias_w
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[g] = jnp.dot(p.astype(dt), v,
-                           preferred_element_type=jnp.float32
-                           ).astype(o_ref.dtype)
+        # normalize AFTER the PV dot (see _grouped_kernel_v2): one
+        # (s, d) divide instead of an (s, s) pass
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[g] = (jnp.dot(p.astype(dt), v,
+                            preferred_element_type=jnp.float32)
+                    / denom).astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, group, per, 0)
@@ -376,9 +378,13 @@ def _grouped_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
                                       preferred_element_type=jnp.float32)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # normalize AFTER the PV dot: divides an (s, d) tile instead
+            # of the (s, s) probability matrix (2.45x fewer elements at
+            # s=196, d=80), and the f32 division after the bf16 dot is
+            # slightly MORE accurate than normalizing bf16 inputs
+            denom = jnp.sum(p, axis=-1, keepdims=True)
             out = jnp.dot(p.astype(dt), v,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32) / denom
             o_ref[g, :, h * head_dim:(h + 1) * head_dim] = \
                 out.astype(o_ref.dtype)
         return 0
@@ -469,9 +475,13 @@ def _folded_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
                 preferred_element_type=jnp.float32)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # normalize AFTER the PV dot: divides an (s, d) tile instead
+            # of the (s, s) probability matrix (2.45x fewer elements at
+            # s=196, d=80), and the f32 division after the bf16 dot is
+            # slightly MORE accurate than normalizing bf16 inputs
+            denom = jnp.sum(p, axis=-1, keepdims=True)
             out = jnp.dot(p.astype(dt), v,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32) / denom
             o_ref[g, :, h * head_dim:(h + 1) * head_dim] = \
                 out.astype(o_ref.dtype)
         return 0

@@ -16,13 +16,13 @@ def _reference(x, g, b, s, eps):
 
 
 def test_kernel_matches_reference_chain(rng):
-    """Lane-aligned C runs the Pallas kernel (interpret on CPU); must
+    """use_kernel=True runs the Pallas kernel (interpret on CPU); must
     match the plain LN->round->clip chain to the LSB."""
     x = jnp.asarray(rng.normal(size=(3, 7, 256)).astype(np.float32)) * 3
     g = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
     s = jnp.asarray(0.037, jnp.float32)
-    got = np.asarray(layernorm_quant(x, g, b, s, eps=1e-6, block_rows=8))
+    got = np.asarray(layernorm_quant(x, g, b, s, eps=1e-6, block_rows=8, use_kernel=True))
     want = _reference(x, g, b, s, 1e-6)
     # round-to-even at exact .5 boundaries can differ by 1 LSB between
     # fused and two-pass arithmetic; everything else must be exact
@@ -38,7 +38,8 @@ def test_partial_last_block(rng):
     g = jnp.ones((128,), jnp.float32)
     b = jnp.zeros((128,), jnp.float32)
     got = np.asarray(layernorm_quant(x, g, b, jnp.asarray(0.02),
-                                     eps=1e-6, block_rows=8))
+                                     eps=1e-6, block_rows=8,
+                                     use_kernel=True))
     want = _reference(x, g, b, 0.02, 1e-6)
     assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all()
 
