@@ -29,12 +29,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _part_kernel(x_ref, o_ref):
-    o_ref[0, 0, 0] = x_ref[0]
+def _part_kernel(x_ref, o_ref, *, win: int, gw: int):
+    # one row-band (win rows x all window columns) per cell; Mosaic's
+    # block-mapping rule (last two block dims %8/%128 or equal to the
+    # array dims) forbids win-sized blocks, so the column slicing
+    # happens in-VMEM with static sublane slices
+    x = x_ref[0]                       # (win, wp, c)
+    c = x.shape[-1]
+    for j in range(gw):
+        tile = x[:, j * win:(j + 1) * win, :]
+        o_ref[0, 0, j] = tile.reshape(win * win, c)
 
 
-def _unpart_kernel(y_ref, o_ref):
-    o_ref[0] = y_ref[0, 0, 0]
+def _unpart_kernel(y_ref, o_ref, *, win: int, gw: int):
+    y = y_ref[0, 0]                    # (gw, win*win, c)
+    c = y.shape[-1]
+    o_ref[0] = jnp.concatenate(
+        [y[j].reshape(win, win, c) for j in range(gw)], axis=1)
 
 
 def _partition_fwd(x, win: int):
@@ -46,13 +57,14 @@ def _partition_fwd(x, win: int):
     hp, wp = h + pad_h, w + pad_w
     gh, gw = hp // win, wp // win
     out = pl.pallas_call(
-        _part_kernel,
-        grid=(b, gh, gw),
-        in_specs=[pl.BlockSpec((1, win, win, c),
-                               lambda bb, i, j: (bb, i, j, 0))],
-        out_specs=pl.BlockSpec((1, 1, 1, win, win, c),
-                               lambda bb, i, j: (bb, i, j, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, gh, gw, win, win, c), x.dtype),
+        functools.partial(_part_kernel, win=win, gw=gw),
+        grid=(b, gh),
+        in_specs=[pl.BlockSpec((1, win, wp, c),
+                               lambda bb, i: (bb, i, 0, 0))],
+        out_specs=pl.BlockSpec((1, 1, gw, win * win, c),
+                               lambda bb, i: (bb, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, gh, gw, win * win, c),
+                                       x.dtype),
         interpret=jax.default_backend() != "tpu",
     )(x)
     return out.reshape(b * gh * gw, win, win, c)
@@ -65,14 +77,14 @@ def _unpartition_fwd(windows, win: int, hw: Tuple[int, int]):
     nw = gh * gw
     b = windows.shape[0] // nw
     c = windows.shape[-1]
-    y = windows.reshape(b, gh, gw, win, win, c)
+    y = windows.reshape(b, gh, gw, win * win, c)
     out = pl.pallas_call(
-        _unpart_kernel,
-        grid=(b, gh, gw),
-        in_specs=[pl.BlockSpec((1, 1, 1, win, win, c),
-                               lambda bb, i, j: (bb, i, j, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, win, win, c),
-                               lambda bb, i, j: (bb, i, j, 0)),
+        functools.partial(_unpart_kernel, win=win, gw=gw),
+        grid=(b, gh),
+        in_specs=[pl.BlockSpec((1, 1, gw, win * win, c),
+                               lambda bb, i: (bb, i, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, win, wp, c),
+                               lambda bb, i: (bb, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), windows.dtype),
         interpret=jax.default_backend() != "tpu",
     )(y)
