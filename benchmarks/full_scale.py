@@ -131,6 +131,8 @@ def main():
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 KV cache (fused Pallas decode kernel): "
                         "halves cache bytes so batch 8 fits one chip")
+    p.add_argument("--ln_kernel", action="store_true",
+                   help="one-pass Pallas LN->int8 at the static vision quant sites")
     p.add_argument("--sam_chunk", default=0, type=int,
                    help="encode SAM frames in N sequential chunks "
                         "(lax.map) — halves peak activation memory at "
@@ -175,9 +177,11 @@ def main():
         cfg = dataclasses.replace(
             cfg,
             clip=dataclasses.replace(cfg.clip, quant_w8a8=True,
-                                     quant_static_act=args.static_act),
+                                     quant_static_act=args.static_act,
+                                     quant_ln_kernel=args.ln_kernel),
             sam_enc=dataclasses.replace(cfg.sam_enc, quant_w8a8=True,
-                                        quant_static_act=args.static_act))
+                                        quant_static_act=args.static_act,
+                                        quant_ln_kernel=args.ln_kernel))
     report["fused_qkv"] = args.fused
     report["vision"] = ("int8_w8a8_static" if args.vision_quant
                         and args.static_act

@@ -103,6 +103,7 @@ def main():
     p.add_argument("--batch", default=4, type=int)
     p.add_argument("--vision_quant", action="store_true")
     p.add_argument("--static_act", action="store_true")
+    p.add_argument("--ln_kernel", action="store_true")
     p.add_argument("--iters", default=3, type=int)
     p.add_argument("--top", default=30, type=int)
     p.add_argument("--out", default="", help="also dump per-op json here")
@@ -115,14 +116,16 @@ def main():
     if args.stage == "sam":
         cfg = dataclasses.replace(
             SamEncoderConfig(), quant_w8a8=args.vision_quant,
-            quant_static_act=args.static_act)
+            quant_static_act=args.static_act,
+            quant_ln_kernel=args.ln_kernel)
         tower = SamImageEncoder(cfg=cfg, dtype=jnp.bfloat16)
         frames = jnp.zeros((args.batch, cfg.num_frames, cfg.img_size,
                             cfg.img_size, 3), jnp.bfloat16)
     else:
         cfg = dataclasses.replace(
             ClipVisionConfig(), quant_w8a8=args.vision_quant,
-            quant_static_act=args.static_act)
+            quant_static_act=args.static_act,
+            quant_ln_kernel=args.ln_kernel)
         tower = ClipVisionTower(cfg=cfg, dtype=jnp.bfloat16)
         frames = jnp.zeros((args.batch, cfg.num_frames, cfg.image_size,
                             cfg.image_size, 3), jnp.bfloat16)

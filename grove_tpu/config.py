@@ -54,6 +54,10 @@ class ClipVisionConfig:
     # after a calibration pass) — removes the per-site full-tensor
     # reduce + f32 materialization from the serving path.
     quant_static_act: bool = False
+    # Dispatch the one-pass Pallas LayerNorm->int8 kernel at the static
+    # quant sites (see ops/fused_ln.py dispatch note: measured per-tower
+    # — a fusion barrier on CLIP, a win where XLA's reduce underruns).
+    quant_ln_kernel: bool = False
 
     @property
     def grid(self) -> int:
@@ -115,6 +119,9 @@ class SamEncoderConfig:
     # Static calibrated per-tensor activation scales (see
     # ClipVisionConfig.quant_static_act).
     quant_static_act: bool = False
+    # One-pass Pallas LayerNorm->int8 at the static quant sites (see
+    # ClipVisionConfig.quant_ln_kernel / ops/fused_ln.py).
+    quant_ln_kernel: bool = False
 
     @property
     def grid(self) -> int:

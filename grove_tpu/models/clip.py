@@ -90,10 +90,12 @@ class ClipEncoderLayer(nn.Module):
 
             hq, sx = LayerNormQuant(eps=cfg.layer_norm_eps,
                                     static_act=cfg.quant_static_act,
+                                    use_kernel=cfg.quant_ln_kernel,
                                     name="layer_norm1")(x)
             x = x + attn(hq, sx)
             hq, sx = LayerNormQuant(eps=cfg.layer_norm_eps,
                                     static_act=cfg.quant_static_act,
+                                    use_kernel=cfg.quant_ln_kernel,
                                     name="layer_norm2")(x)
             h = _dense(cfg, cfg.intermediate_size, self.dtype,
                        "fc1")(hq, sx)

@@ -264,6 +264,7 @@ class LayerNormQuant(nn.Module):
     """
     eps: float = 1e-6
     static_act: bool = False
+    use_kernel: bool = False     # Pallas one-pass LN->int8 (static mode)
 
     @nn.compact
     def __call__(self, x):  # (..., C) float -> (int8, scale)
@@ -275,7 +276,8 @@ class LayerNormQuant(nn.Module):
 
             ascale = self.param("act_scale", nn.initializers.ones,
                                 (), jnp.float32)
-            return layernorm_quant(x, g, b, ascale, eps=self.eps), ascale
+            return layernorm_quant(x, g, b, ascale, eps=self.eps,
+                                   use_kernel=self.use_kernel), ascale
         # dynamic path (also the calibration pass: stats are the
         # NORMALIZED output's absmax, matching what static mode scales)
         xf = x.astype(jnp.float32)

@@ -205,10 +205,12 @@ class SamBlock(nn.Module):
             # stays in the compute dtype
             xq, sx = LayerNormQuant(eps=cfg.layer_norm_eps,
                                     static_act=cfg.quant_static_act,
+                                    use_kernel=cfg.quant_ln_kernel,
                                     name="norm1")(x)
             x = shortcut + attn(xq, sx)
             hq, s2 = LayerNormQuant(eps=cfg.layer_norm_eps,
                                     static_act=cfg.quant_static_act,
+                                    use_kernel=cfg.quant_ln_kernel,
                                     name="norm2")(x)
             return x + mlp(hq, s2)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
