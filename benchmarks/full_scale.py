@@ -156,7 +156,8 @@ def main():
     from grove_tpu.models.grove import GroveModel, init_grove_params
     from grove_tpu.models.llama import init_kv_caches
 
-    report = {"config": "full", "backend": jax.default_backend(),
+    report = {"weights": "synthetic",  # no released ckpt in env
+              "config": "full", "backend": jax.default_backend(),
               "batch": args.batch,
               "llm_weights": ("bf16" if args.no_quant
                               else "int4" if args.int4 else "int8")}

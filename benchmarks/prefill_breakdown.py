@@ -66,9 +66,12 @@ def main():
                        else x), params)
 
     # per-token FLOPs: 7 projections + lm-head-free stack (LlamaModel has
-    # no lm_head) + attention (2 * S * d per token per layer, causal/2)
+    # no lm_head) + attention (2 * S * d per token per layer, causal/2).
+    # k/v projections scale with num_kv_heads (GQA-aware).
     nl, inter = lcfg.num_layers, lcfg.intermediate_size
-    proj_flops_tok = 2 * nl * (4 * d * d + 3 * d * inter)
+    head_dim = d // lcfg.num_heads
+    kv_dim = lcfg.num_kv_heads * head_dim
+    proj_flops_tok = 2 * nl * (2 * d * d + 2 * d * kv_dim + 3 * d * inter)
     attn_flops_tok = nl * 2 * 2 * S * d / 2  # QK^T + PV, causal half
 
     fn = jax.jit(lambda p, e, po: model.apply({"params": p}, e, po)[0])

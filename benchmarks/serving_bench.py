@@ -97,7 +97,8 @@ def main():
     rng = np.random.default_rng(0)
     gaps = rng.exponential(args.mean_gap_ms / 1e3, size=args.n)
 
-    report = {"model_size": args.model_size, "n_requests": args.n,
+    report = {"weights": "synthetic",  # no released ckpt in env
+              "model_size": args.model_size, "n_requests": args.n,
               "mean_gap_ms": args.mean_gap_ms, "max_new": args.max_new,
               "slots": args.slots}
 

@@ -67,7 +67,8 @@ def main():
     from grove_tpu.train.step import (OptimizerConfig, make_optimizer,
                                       partition_params, trainable_mask)
 
-    report = {"config": "full", "backend": jax.default_backend(),
+    report = {"weights": "synthetic",  # no released ckpt in env
+              "config": "full", "backend": jax.default_backend(),
               "batch": args.batch, "seq": args.seq,
               "frozen_llm": f"int{args.bits}", "lora_r": args.lora_r,
               "train_embeddings": not args.no_embed,
