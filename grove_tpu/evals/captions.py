@@ -161,8 +161,20 @@ def cider_d(gts: Dict[str, List[str]], res: Dict[str, str],
     return sum(scores) / len(scores) if scores else 0.0
 
 
-def caption_metrics(gts: Dict[str, List[str]], res: Dict[str, str]) -> Dict:
+def caption_metrics(gts: Dict[str, List[str]], res: Dict[str, str],
+                    ptb: bool = True) -> Dict:
     from .spice import spice_rule
+
+    if ptb:
+        # the reference tokenizes ONCE with PTBTokenizer (+ punctuation
+        # removal) before every scorer (`eval_iground.py:461-468` via
+        # pycocoevalcap); mirror that by rewriting the caption strings as
+        # space-joined PTB tokens so all downstream whitespace splits see
+        # the identical stream
+        from .ptb import pycoco_tokenize
+        gts = {k: [" ".join(pycoco_tokenize(r)) for r in v]
+               for k, v in gts.items()}
+        res = {k: " ".join(pycoco_tokenize(h)) for k, h in res.items()}
 
     b = bleu(gts, res)
     meteor = meteor_corpus(gts, res)
