@@ -48,6 +48,12 @@ class GroveModel(nn.Module):
     # parallelism; see models/llama.LlamaModel.act_sharding). Parameter-free,
     # so checkpoints are interchangeable with the unconstrained model.
     llm_act_sharding: object = None
+    # optional NamedSharding (e.g. NamedSharding(mesh, P("data"))) pinning
+    # the ground path's (B*T*P, ...) activations to the batch axis. Without
+    # it GSPMD invents conflicting shardings inside the box decoder's tiny
+    # attention ops under TP and falls back to involuntary full
+    # rematerialization (replicate-then-reshard) every train step.
+    ground_act_sharding: object = None
 
     def setup(self):
         cfg = self.cfg
@@ -263,6 +269,13 @@ class GroveModel(nn.Module):
         hw, c = image_embeddings.shape[1:]
         src = jnp.broadcast_to(image_embeddings[:, None],
                                (b * t, p, hw, c)).reshape(b * t * p, hw, c)
+        if self.ground_act_sharding is not None:
+            # anchor GSPMD propagation through the two-way transformer on
+            # the batch axis (see attribute comment)
+            src = jax.lax.with_sharding_constraint(
+                src, self.ground_act_sharding)
+            sparse = jax.lax.with_sharding_constraint(
+                sparse, self.ground_act_sharding)
         image_pe = self.dense_pe()
         boxes, obj = self.box_decoder(src, image_pe, sparse, dense, None)
         boxes = boxes.reshape(b, t, p, 4)

@@ -201,3 +201,51 @@ def test_tp_sharded_decode_matches_unsharded():
                             jax.device_put(jnp.asarray(feats), sh_d),
                             jax.device_put(jnp.asarray(vs), sh_d), **kw)
     assert np.asarray(g_ref).tolist() == np.asarray(g_tp).tolist()
+
+
+def test_ground_act_sharding_matches_replicated():
+    """`ground_act_sharding` is placement-only: GroveModel.ground on the
+    dp4xtp2 mesh with TP-sharded params + the data-axis activation
+    constraint reproduces the unconstrained single-placement output."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from grove_tpu.config import GroveConfig
+    from grove_tpu.models.grove import GroveModel, init_grove_params
+    from grove_tpu.parallel.mesh import make_mesh
+    from grove_tpu.parallel.sharding import params_shardings, shard_pytree
+
+    cfg = GroveConfig.tiny()
+    b, t, p = 4, cfg.num_frames, cfg.max_phrases
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(2),
+                                         dtype=jnp.float32, batch=b)
+    rng = np.random.default_rng(3)
+    seq = cfg.num_video_tokens + 8
+    hidden = jnp.asarray(rng.normal(size=(b, seq, cfg.llama.hidden_size)),
+                         jnp.float32)
+    det = jnp.asarray(rng.integers(1, seq, size=(b, p)), jnp.int32)
+    g = cfg.sam_enc.grid
+    img = jnp.asarray(rng.normal(size=(b * t, g * g, cfg.sam_dec.embed_dim)),
+                      jnp.float32)
+
+    def run(m, vs, *args):
+        return m.apply(vs, *args, method=GroveModel.ground)
+
+    boxes_ref, obj_ref = jax.jit(run, static_argnums=0)(
+        model, variables, hidden, det, img)
+
+    mesh = make_mesh(data=4, model=2)
+    model_s = GroveModel(cfg, dtype=jnp.float32,
+                         ground_act_sharding=NamedSharding(mesh, P("data")))
+    params_s = shard_pytree(variables["params"],
+                            params_shardings(variables["params"], mesh))
+    sh_d = NamedSharding(mesh, P("data"))
+    boxes_s, obj_s = jax.jit(run, static_argnums=0)(
+        model_s, {"params": params_s},
+        jax.device_put(hidden, sh_d), jax.device_put(det, sh_d),
+        jax.device_put(img, sh_d))
+    np.testing.assert_allclose(np.asarray(boxes_s), np.asarray(boxes_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(obj_s), np.asarray(obj_ref),
+                               rtol=2e-5, atol=2e-6)
