@@ -129,16 +129,19 @@ class Int4Dense(nn.Module):
     (`ops.quant.pack_int4` — the relay cannot move `jnp.int4` arrays
     across jit boundaries, and packed bytes carry the same 0.5 B/elem).
 
-    Two execution paths, both reading only the packed int4 bytes from HBM:
-    * multi-token (prefill): the fused Pallas matmul
-      (`ops.int4_matmul`) — unpack + dequantize in VMEM, dot in the
-      compute dtype, per-nibble-plane output scaling (see that module's
-      docstring for why XLA can't express this without materializing
-      bf16 weights).
-    * single-token (decode): a grouped einsum over the unpacked planes —
-      the (B, 1, G, N) intermediate is tiny and the step stays bound on
-      the int4 bytes as long as XLA fuses the unpack into the dot's
-      operand read (measured in `benchmarks/int4_probe.py`).
+    Execution paths, all reading only the packed int4 bytes from HBM:
+    * prefill + act_quant (the serving config): Pallas unpack-requant
+      kernel (`ops.int4_matmul.int4_requant_int8`) materializes a
+      per-channel int8 view, then the plain XLA int8 dot rides the
+      MXU's 2x path (the fused W4A8 matmul kernel measured slower
+      in-model — see the dispatch comment).
+    * prefill, bf16 activations: materialized bf16 view + XLA dot under
+      `jax.checkpoint` (compute-bound; the W4A16 Pallas kernel loses the
+      MXU bf16 rate to Mosaic's int-acc restriction).
+    * decode / few tokens: the fused W4A16 Pallas matmul
+      (`ops.int4_matmul.int4_matmul`) — unpack + dequantize in VMEM,
+      weight-read-bound (0.23 ms vs 1.36 for the XLA grouped einsum at
+      the (8,4096)x(4096,11008) shape).
 
     Accuracy: group-128 round-to-nearest int4 is the standard W4
     serving storage format (GPTQ/AWQ-class); per-channel int8 (Int8Dense)
@@ -172,42 +175,33 @@ class Int4Dense(nn.Module):
         tokens = 1
         for d in lead:
             tokens *= d
-        # Dispatch (all measured on-chip, benchmarks/int4_probe.py):
-        # * decode / few tokens: fused Pallas kernel — the only form
-        #   that reads just the packed bytes (0.23 ms vs 1.36 ms for the
-        #   XLA grouped einsum at the (8,4096)x(4096,11008) shape).
-        # * prefill (>= 64 tokens): materialize a one-byte-per-element
-        #   VIEW per call and use the plain XLA dot. Prefill reads every
-        #   weight once, so the extra write is cheap, while the Pallas
-        #   int4 kernels lose the MXU: Mosaic demands int32 acc for int8
-        #   dots (bf16 rate, 106 TF/s) whereas XLA's int8->f32 dot rides
-        #   the 2x path (285 TF/s) and the bf16 dot hits 160 TF/s vs the
-        #   W4A16 kernel's 82.
+        # Dispatch measured on-chip (benchmarks/int4_probe.py,
+        # benchmarks/prefill_breakdown.py); see the class docstring.
         on_tpu = (jax.default_backend() == "tpu"
                   and group % 128 == 0 and self.features % 128 == 0)
         # act_quant only pays on multi-token shapes (decode rows are
         # weight-read-bound; quantizing them measured +0.4 ms/step)
         if on_tpu and tokens >= 64 and self.act_quant:
-            # int8 view: fold the group scales into per-channel int8 and
-            # ride the same XLA path as Int8Dense W8A8. The requant runs
-            # in int32 FIXED POINT — q8 = (q4 * round(256*s_g/s8) + 128)
-            # >> 8 — because the f32 round/clip chain measured 0.9 ms of
-            # the 1.79 ms view+dot at the (4096, 11008) prefill shape;
-            # all-integer cuts it to 1.14 ms. Error <= 1 int8 LSB on
-            # ~0.3% of values, far below the int4 noise. |q4*M| <=
-            # 7*round(256*127/7) = 32515 < 2^15, so no clip is needed.
-            sg2 = groups // 2
+            # int8 view + XLA dot: fold the group scales into per-channel
+            # int8 and ride the same XLA path as Int8Dense W8A8 (the XLA
+            # int8 dot runs at the 345 TOP/s MXU rate). The requant is
+            # int32 FIXED POINT — q8 = (q4 * round(256*s_g/s8) + 128)
+            # >> 8 — and runs in a one-pass Pallas kernel
+            # (`ops.int4_matmul.int4_requant_int8`): the same math as
+            # XLA ops compiled to shift/stack/pad fusions materializing
+            # padded (sg2, 2, G, N) tiles (~145 ms of a 712 ms b16
+            # prefill). The fused W4A8 matmul kernel
+            # (`int4_matmul_a8`) was measured and REJECTED for prefill:
+            # 214 TF/s per call but 1044 ms vs 712 in-model at b16 —
+            # XLA's dot overlaps/pipelines better than the Pallas grid
+            # (benchmarks/prefill_breakdown.py). Requant error <= 1 int8
+            # LSB on ~0.3% of values, far below the int4 noise;
+            # |q4*M| <= 7*round(256*127/7) = 32515 < 2^15, no clip
+            # needed.
+            from ..ops.int4_matmul import int4_requant_int8
             s8 = jnp.max(scale, axis=0) * (7.0 / 127.0)   # (N,) f32
             mult = jnp.round(scale / s8 * 256.0).astype(jnp.int32)
-            mult = mult.reshape(sg2, 2, self.features)
-            p32 = kernel_p.reshape(sg2, group, self.features).astype(
-                jnp.int32)
-            lo = jnp.left_shift(p32, 28) >> 28
-            hi = p32 >> 4
-            qlo = (lo * mult[:, 0:1, :] + 128) >> 8
-            qhi = (hi * mult[:, 1:2, :] + 128) >> 8
-            q8 = jnp.stack([qlo, qhi], axis=1).astype(jnp.int8)
-            q8 = q8.reshape(k, self.features)
+            q8 = int4_requant_int8(kernel_p, mult)
             xq, sx = quant_act(x.reshape(tokens, k))
             y = jax.lax.dot_general(
                 xq, q8, (((1,), (0,)), ((), ())),

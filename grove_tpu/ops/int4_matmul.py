@@ -97,6 +97,57 @@ def _kernel_a8(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_ref, *,
         o_ref[...] = (acc_ref[...] * sx_ref[...]).astype(o_ref.dtype)
 
 
+_VMEM_BUDGET = 12 * 2**20  # 16 MB scoped limit minus headroom
+
+
+def _vmem_bytes(bm: int, bn: int, group: int, x_bytes: int,
+                out_bytes: int) -> int:
+    """Model the kernel's scoped-VMEM footprint at a (bm, bn) blocking.
+
+    Double-buffered operand/out blocks + the f32 acc scratch + the
+    kernel's live temporaries: the two (bm, bn) per-plane dot results
+    (int32 or f32) coexist with the acc, and the unpacked (group, bn)
+    int32 nibble planes with them. Calibrated against a real failure:
+    bm 2048 / bn 512 / f32 out was rejected at 17.05M over the 16M
+    scoped limit."""
+    io = 2 * (bm * 2 * group * x_bytes      # x block
+              + group * bn                  # packed weight block
+              + bm * 4 + 2 * bn * 4         # sx + scale rows
+              + bm * bn * out_bytes)        # out block
+    acc = bm * bn * 4
+    temps = 2 * bm * bn * 4 + 2 * group * bn * 4
+    return io + acc + temps
+
+
+def _pick_blocks(m: int, n: int, group: int, x_bytes: int, out_bytes: int,
+                 block_m: int, block_n: int) -> tuple[int, int]:
+    """Auto blocking: big M-blocks at prefill shapes, tiny at decode,
+    shrunk to the scoped-VMEM budget.
+
+    The packed weight block (group, bn) is re-streamed from HBM once per
+    M-block, so small M-blocks turn prefill weight-read-bound: at
+    M ~ 10k / block_m 256 the full kernel streams 39x (measured 74-136
+    TF/s); block_m 2048 cuts that to 5x (196-211 TF/s, the MXU int8
+    ceiling for this unpack pattern). bm dominates weight traffic and bn
+    doesn't, so VMEM pressure sheds bn first (>=128), then halves bm.
+    Explicit block_m/block_n override the heuristic but still shrink
+    under the budget; m < 256 keeps the old exact-fit behavior."""
+    bn = block_n or _block_n(n, m)
+    assert n % bn == 0, (n, bn)
+    bm = min(block_m or (2048 if m > 256 else 256), max(8, m))
+    while _vmem_bytes(bm, bn, group, x_bytes, out_bytes) > _VMEM_BUDGET:
+        nbn = bn - 128
+        while nbn >= 128 and n % nbn:
+            nbn -= 128
+        if nbn >= 128:
+            bn = nbn
+        elif bm > 256:
+            bm //= 2
+        else:
+            break
+    return bm, bn
+
+
 def _block_n(n: int, m: int, cap: int = 512) -> int:
     """Largest multiple-of-128 divisor of n, capped (11008 -> 256).
 
@@ -113,14 +164,57 @@ def _block_n(n: int, m: int, cap: int = 512) -> int:
     return bn
 
 
+def _kernel_requant(w_ref, m_ref, o_ref, *, group: int):
+    lo, hi = _unpack(w_ref)                          # (G, bn) int32 planes
+    m = m_ref[0]                                     # (2, bn) mult rows
+    o_ref[:group] = ((lo * m[0:1] + 128) >> 8).astype(jnp.int8)
+    o_ref[group:] = ((hi * m[1:2] + 128) >> 8).astype(jnp.int8)
+
+
+@jax.jit
+def int4_requant_int8(wp, mult):
+    """Packed int4 wp (K/2, N) -> per-channel int8 view (K, N) in one
+    bandwidth-bound pass.
+
+    mult (K/G, N) int32 is the fixed-point group->channel requant
+    multiplier round(256 * s_g / s8) (see `Int4Dense`): the kernel
+    computes q8 = (q4 * mult + 128) >> 8 per nibble plane. Exists
+    because the same requant as an XLA op chain compiles to
+    shift/stack/pad fusions materializing padded (sg2, 2, G, N) tiles —
+    measured 99 ms of shift/slice/add fusions + 45 ms of pads per
+    32-layer b16 prefill (benchmarks/prefill_breakdown.py); this kernel
+    reads the packed bytes and writes the int8 view once."""
+    kh, n = wp.shape
+    k_steps = mult.shape[0] // 2
+    group = kh // k_steps
+    assert group % 128 == 0, group
+    bn = _block_n(n, m=2**30)  # plain cap-512 divisor choice
+    kernel = functools.partial(_kernel_requant, group=group)
+    return pl.pallas_call(
+        kernel,
+        grid=(k_steps, n // bn),
+        in_specs=[
+            pl.BlockSpec((group, bn), lambda p, j: (p, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, bn), lambda p, j: (p, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * group, bn), lambda p, j: (p, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * kh, n), jnp.int8),
+        interpret=jax.default_backend() != "tpu",
+    )(wp, mult.reshape(k_steps, 2, n))
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
-def int4_matmul(x, wp, scale, block_m: int = 256, block_n: int = 0):
+def int4_matmul(x, wp, scale, block_m: int = 0, block_n: int = 0):
     """x (M, K) bf16/f32 @ packed wp (K/2, N) int8 with scale (K/G, N)
     f32 -> (M, N).
 
     Requires K % (2G) == 0 with G = K // scale.shape[0] a multiple of 128
     (each nibble plane IS a quantization group). M is padded to block_m
-    internally; block_n=0 picks the largest 128-multiple divisor of N.
+    internally; block_m=0 / block_n=0 pick measured-good defaults
+    (`_block_m` / `_block_n`).
     """
     m, k = x.shape
     kh, n = wp.shape
@@ -131,9 +225,8 @@ def int4_matmul(x, wp, scale, block_m: int = 256, block_n: int = 0):
     assert group % 128 == 0, ("int4 nibble plane must be lane-aligned",
                               group)
 
-    block_n = block_n or _block_n(n, m)
-    assert n % block_n == 0, (n, block_n)
-    block_m = min(block_m, max(8, m))
+    xb = jnp.dtype(x.dtype).itemsize
+    block_m, block_n = _pick_blocks(m, n, group, xb, xb, block_m, block_n)
     pad_m = (-m) % block_m
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
@@ -163,7 +256,7 @@ def int4_matmul(x, wp, scale, block_m: int = 256, block_n: int = 0):
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
                                              "out_dtype"))
-def int4_matmul_a8(xq, sx, wp, scale, block_m: int = 256,
+def int4_matmul_a8(xq, sx, wp, scale, block_m: int = 0,
                    block_n: int = 0, out_dtype=jnp.bfloat16):
     """W4A8: xq (M, K) int8 with per-token scales sx (M, 1) f32 @
     packed wp (K/2, N) int8 with group scales scale (K/G, N) f32 ->
@@ -182,9 +275,8 @@ def int4_matmul_a8(xq, sx, wp, scale, block_m: int = 256,
     group = k // groups
     assert group % 128 == 0, group
 
-    block_n = block_n or _block_n(n, m)
-    assert n % block_n == 0, (n, block_n)
-    block_m = min(block_m, max(8, m))
+    block_m, block_n = _pick_blocks(
+        m, n, group, 1, jnp.dtype(out_dtype).itemsize, block_m, block_n)
     pad_m = (-m) % block_m
     if pad_m:
         xq = jnp.pad(xq, ((0, pad_m), (0, 0)))

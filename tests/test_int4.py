@@ -188,6 +188,42 @@ def test_int4_fuse_compose(setup, rng):
                                atol=1e-5)
 
 
+def test_int4_requant_kernel_parity(rng):
+    """The one-pass Pallas requant (packed int4 -> per-channel int8 view,
+    `ops.int4_matmul.int4_requant_int8`) == the explicit numpy fixed-point
+    chain it replaced, bit for bit (interpret mode on CPU)."""
+    from grove_tpu.ops.int4_matmul import int4_requant_int8
+    k, n, g = 512, 256, 128
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    q, s = quantize_kernel_int4(w, group=g)
+    s8 = s.max(axis=0) * (7.0 / 127.0)
+    mult32 = np.round(s / s8 * 256.0).astype(np.int32)
+    got = np.asarray(int4_requant_int8(jnp.asarray(q),
+                                       jnp.asarray(mult32)))
+    wg = np.asarray(unpack_int4(jnp.asarray(q), g), np.int64)
+    want = ((wg * mult32.astype(np.int64)[:, None, :] + 128) >> 8).reshape(
+        k, n).astype(np.int8)
+    assert got.shape == (k, n) and got.dtype == np.int8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int4_pick_blocks_respects_vmem_budget():
+    """Auto blocking shrinks (bn first, then bm) until the modeled
+    scoped-VMEM footprint fits; explicit block args also get shrunk."""
+    from grove_tpu.ops.int4_matmul import (_pick_blocks, _vmem_bytes,
+                                           _VMEM_BUDGET)
+    # prefill shape: big M, wide N — heuristic picks large bm under budget
+    bm, bn = _pick_blocks(10240, 11008, 128, 2, 2, 0, 0)
+    assert bm >= 256 and bn >= 128
+    assert _vmem_bytes(bm, bn, 128, 2, 2) <= _VMEM_BUDGET
+    # decode shape: tiny M keeps the exact-fit behavior
+    bm, bn = _pick_blocks(8, 4096, 128, 2, 2, 0, 0)
+    assert bm == 8
+    # an over-budget explicit request is shrunk, not honored blindly
+    bm, bn = _pick_blocks(4096, 4096, 512, 4, 4, 4096, 4096)
+    assert _vmem_bytes(bm, bn, 512, 4, 4) <= _VMEM_BUDGET
+
+
 def test_int4_save_pretrained_roundtrip(setup, tmp_path):
     _, _, qlm = setup
     d = str(tmp_path / "q4model")
