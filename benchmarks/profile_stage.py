@@ -96,6 +96,21 @@ def print_table(per_op, top, total_scale=1.0):
     for k, us in buckets.most_common():
         print(f"  {us/1e3:8.2f} ms  {100*us/total:5.1f}%  {k}")
 
+    # grouped table: same-op instances (name.NN suffixes) summed, so a
+    # 28-block tower reads as one row per op kind
+    grouped = collections.Counter()
+    counts = collections.Counter()
+    for name, us in per_op.items():
+        stem = name.rsplit(".", 1)
+        base = stem[0] if len(stem) == 2 and stem[1].isdigit() else name
+        grouped[base] += us
+        counts[base] += 1
+    print("\ngrouped (instances summed):")
+    print(f"{'ms':>10}  {'%':>5}  {'n':>4}  op")
+    for name, us in grouped.most_common(top):
+        print(f"{us/1e3*total_scale:>10.2f}  {100*us/total:>5.1f}  "
+              f"{counts[name]:>4}  {name[:80]}")
+
 
 def main():
     p = argparse.ArgumentParser()

@@ -124,12 +124,13 @@ def probe_v2():
     """Separate entry: layout-preserving v2 (raw (B,S,C) inputs)."""
     import jax, jax.numpy as jnp, json
     from grove_tpu.ops.sam_attention import (
-        grouped_window_attention_relpos_v2, relpos_terms)
+        grouped_window_attention_relpos_v2, relpos_terms, relpos_terms_raw)
     report = {}
     q = jax.jit(lambda: 0.02 * jnp.ones((NWIN, S, H, D), jnp.bfloat16))()
     rel = jax.jit(lambda: 0.01 * jnp.ones((2 * WIN - 1, D), jnp.float32))()
     rh, rw = relpos_terms(q, rel, rel, (WIN, WIN))
     qc = jax.jit(lambda a: a.reshape(NWIN, S, H * D))(q)
+    rpk = relpos_terms_raw(qc, rel, rel, (WIN, WIN), H)
 
     def t(name, fn, *args, iters=8):
         secs = timed_loop(fn, *args, iters=iters)
@@ -138,8 +139,8 @@ def probe_v2():
 
     for grp in (2, 4, 8):
         t(f"v2_grouped_{grp}",
-          lambda a, hh, ww, g=grp: grouped_window_attention_relpos_v2(
-              a, a, a, hh, ww, (WIN, WIN), num_heads=H, group=g),
-          qc, rh, rw)
+          lambda a, r, g=grp: grouped_window_attention_relpos_v2(
+              a, a, a, r, (WIN, WIN), num_heads=H, group=g),
+          qc, rpk)
     print(json.dumps(report))
     return report

@@ -42,10 +42,12 @@ def main():
     from grove_tpu.ops.sam_attention import (
         folded_window_attention_relpos, folded_window_attention_relpos_v2,
         grouped_window_attention_relpos,
-        grouped_window_attention_relpos_v2, relpos_terms)
+        grouped_window_attention_relpos_v2, relpos_terms,
+        relpos_terms_raw)
 
     rh, rw = relpos_terms(q, rel, rel, (WIN, WIN))
     qc = jax.jit(lambda a: a.reshape(NWIN, S, H * D))(q)
+    rpk = relpos_terms_raw(qc, rel, rel, (WIN, WIN), H)
 
     def t(name, fn, *args, iters=8):
         secs = timed_loop(fn, *args, iters=iters)
@@ -56,8 +58,8 @@ def main():
       lambda a, hh, ww: grouped_window_attention_relpos(
           a, a, a, hh, ww, (WIN, WIN), group=16), q, rh, rw)
     t("v2_raw_g2",
-      lambda a, hh, ww: grouped_window_attention_relpos_v2(
-          a, a, a, hh, ww, (WIN, WIN), num_heads=H, group=2), qc, rh, rw)
+      lambda a, r: grouped_window_attention_relpos_v2(
+          a, a, a, r, (WIN, WIN), num_heads=H, group=2), qc, rpk)
     for grp in (4, 8, 16):
         t(f"folded_g{grp}",
           lambda a, hh, ww, g=grp: folded_window_attention_relpos(

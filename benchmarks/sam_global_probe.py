@@ -58,7 +58,7 @@ def main():
 
     from grove_tpu.ops.sam_attention import (
         grouped_window_attention_relpos_v2, relpos_terms,
-        sam_attention_with_relpos)
+        relpos_terms_raw, sam_attention_with_relpos)
 
     # current dispatch: flash fwd kernel, (B*H, S/bq) grid
     timeit("global_flash_ms",
@@ -67,8 +67,8 @@ def main():
 
     # v2 lane-sliced kernel, group=1: 32-cell grid, heads unrolled
     def v2_global(a, r):
-        rh, rw = relpos_terms(a.reshape(bt, s, nh, hd), r, r, (g, g))
-        return grouped_window_attention_relpos_v2(a, a, a, rh, rw, (g, g),
+        rp = relpos_terms_raw(a, r, r, (g, g), nh)
+        return grouped_window_attention_relpos_v2(a, a, a, rp, (g, g),
                                                   nh, group=1)
     timeit("global_v2_raw_ms", v2_global, qr, rel)
 

@@ -111,14 +111,13 @@ def main():
 
     # v2-kernel variants: q/k/v stay (nW, S, C) raw — no (B*H, S, D) fold
     from grove_tpu.ops.sam_attention import (
-        grouped_window_attention_relpos_v2, relpos_terms)
+        grouped_window_attention_relpos_v2, relpos_terms_raw)
 
     def attn_v2(q, k, v):
-        # rel terms are computed from the head-split view (free reshape,
-        # trailing-dim split); the BIG tensors never transpose
-        rh, rw = relpos_terms(q.reshape(q.shape[0], q.shape[1], nh, hd),
-                              rel, rel, (win, win))
-        return grouped_window_attention_relpos_v2(q, k, v, rh, rw,
+        # rel terms straight in the kernel's packed lane layout (free
+        # views on q; no transposes)
+        r = relpos_terms_raw(q, rel, rel, (win, win), nh)
+        return grouped_window_attention_relpos_v2(q, k, v, r,
                                                   (win, win), nh, group=2)
 
     def old_v2(x, wq, bq, wp):

@@ -207,9 +207,9 @@ class GroveForCausalLM:
                          method="encode_video")
 
     def get_grounding_encoder_embs(self, frames_sam):
-        from ..infer.jit_utils import apply_jit
-        return apply_jit(self.model, self.variables, frames_sam,
-                         method="encode_grounding")
+        from ..infer.jit_utils import encode_grounding_auto
+        return encode_grounding_auto(self.model, self.variables,
+                                     frames_sam)
 
     def get_dense_pe(self):
         return self.model.apply(self.variables,

@@ -213,10 +213,10 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
     `cache_dtype` (jnp.bfloat16 / jnp.int8 / jnp.float32) and `early_exit`
     tune the KV-cache decode loop (see `greedy_decode`).
     """
+    from .jit_utils import encode_grounding_auto
     video_embeds, _ = apply_jit(model, variables, frames_clip,
                                 method="encode_video")
-    image_embeddings = apply_jit(model, variables, frames_sam,
-                                 method="encode_grounding")
+    image_embeddings = encode_grounding_auto(model, variables, frames_sam)
     if num_beams > 1:
         from .beam import beam_decode
         gen_ids, hidden, _ = beam_decode(

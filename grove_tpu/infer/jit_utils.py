@@ -27,3 +27,46 @@ def jitted_method(model, method_name: str):
 
 def apply_jit(model, variables, *args, method: str):
     return jitted_method(model, method)(variables, *args)
+
+
+# Measured-safe frames-per-launch ceiling for the SAM tower: 128 frames
+# (batch 16 x 8) runs clean; 256 frames (batch 32) faulted the TPU worker
+# inside SAM encode (kernel fault, NOTES_ROUND2). Oversize requests are
+# scanned in chunks inside ONE jit, so any batch degrades to more
+# sequential launches instead of crashing the worker.
+SAM_MAX_FRAMES = 128
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_grounding_chunked(model, nch: int):
+    method = type(model).encode_grounding
+
+    @jax.jit
+    def run(variables, frames):      # (B, T, H, W, 3), B % nch == 0
+        b = frames.shape[0]
+        fr = frames.reshape(nch, b // nch, *frames.shape[1:])
+        out = jax.lax.map(
+            lambda ff: model.apply(variables, ff, method=method), fr)
+        return out.reshape(out.shape[0] * out.shape[1], *out.shape[2:])
+
+    return run
+
+
+def encode_grounding_auto(model, variables, frames_sam,
+                          max_frames: int = SAM_MAX_FRAMES):
+    """SAM grounding encode with automatic frame chunking.
+
+    Splits the clip batch into the fewest chunks keeping each SAM launch
+    at <= max_frames frames (the measured-safe ceiling); single-chunk
+    batches take the plain jitted path unchanged."""
+    b, t = frames_sam.shape[:2]
+    nch = 1
+    while ((b + nch - 1) // nch) * t > max_frames or b % nch:
+        nch += 1
+        if nch >= b:
+            nch = b
+            break
+    if nch <= 1:
+        return apply_jit(model, variables, frames_sam,
+                         method="encode_grounding")
+    return _jitted_grounding_chunked(model, nch)(variables, frames_sam)

@@ -261,20 +261,35 @@ class LayerNormQuant(nn.Module):
     use_kernel: bool = False     # Pallas one-pass LN->int8 (static mode)
 
     @nn.compact
-    def __call__(self, x):  # (..., C) float -> (int8, scale)
+    def __call__(self, x, branch=None):
+        """(..., C) float -> (int8, scale), or with `branch` given:
+        (resid, int8, scale) where resid = x + branch and the int8 is the
+        quantized LN of resid.
+
+        The branch form exists because fusing the LN alone measured a
+        WASH at full scale (see `ops.fused_ln`): the residual add, the
+        clamp chain, and the pallas boundary copies stayed outside. In
+        static serving mode the branch form dispatches the one-pass
+        add+LN+quant kernel that subsumes all of it.
+        """
         c = x.shape[-1]
         g = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if self.static_act and not self.is_mutable_collection("act_stats"):
-            from ..ops.fused_ln import layernorm_quant
+            from ..ops.fused_ln import add_layernorm_quant, layernorm_quant
 
             ascale = self.param("act_scale", nn.initializers.ones,
                                 (), jnp.float32)
+            if branch is not None:
+                resid, q = add_layernorm_quant(x, branch, g, b, ascale,
+                                               eps=self.eps)
+                return resid, q, ascale
             return layernorm_quant(x, g, b, ascale, eps=self.eps,
                                    use_kernel=self.use_kernel), ascale
         # dynamic path (also the calibration pass: stats are the
         # NORMALIZED output's absmax, matching what static mode scales)
-        xf = x.astype(jnp.float32)
+        resid = x if branch is None else x + branch.astype(x.dtype)
+        xf = resid.astype(jnp.float32)
         mu = xf.mean(-1, keepdims=True)
         d = xf - mu
         var = (d * d).mean(-1, keepdims=True)
@@ -283,8 +298,12 @@ class LayerNormQuant(nn.Module):
         if self.static_act:
             ascale = self.param("act_scale", nn.initializers.ones,
                                 (), jnp.float32)
-            return quant_act_static(y, ascale)
-        return quant_act(y)
+            out = quant_act_static(y, ascale)
+        else:
+            out = quant_act(y)
+        if branch is not None:
+            return (resid,) + out
+        return out
 
 
 class RMSNorm(nn.Module):
@@ -452,7 +471,14 @@ class _Conv3dShifts(nn.Module):
         xp = jnp.pad(xq, ((0, 0), (kt // 2, kt - 1 - kt // 2),
                           (kh // 2, kh - 1 - kh // 2),
                           (kw // 2, kw - 1 - kw // 2), (0, 0)))
-        out = jnp.zeros((b, t, hh, ww, self.features), jnp.float32)
+        # the 27-tap chain accumulates in bf16: each tap's int8 dot is
+        # exact (f32 accumulate inside the dot), only the running sum
+        # rounds — sqrt(27)*2^-9 ~ 1% worst-case, far below the int8
+        # activation noise — and the accumulator read/write churn (the
+        # dominant HBM traffic of the adapters: profiled 225 ms of
+        # convolution_add_fusion at b16, ~24% of SAM's FLOPs) halves
+        acc_dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+        out = jnp.zeros((b, t, hh, ww, self.features), acc_dt)
         for dt_ in range(kt):
             for dh in range(kh):
                 for dw in range(kw):
@@ -460,8 +486,9 @@ class _Conv3dShifts(nn.Module):
                         xp, (0, dt_, dh, dw, 0), (b, t, hh, ww, cin))
                     out = out + jnp.einsum(
                         "bthwc,cd->bthwd", sl, kernel_q[dt_, dh, dw],
-                        preferred_element_type=jnp.float32)
-        return ((out * sx) * scale + bias).astype(x.dtype)
+                        preferred_element_type=jnp.float32).astype(acc_dt)
+        return ((out.astype(jnp.float32) * sx) * scale
+                + bias).astype(x.dtype)
 
 
 def adaptive_avg_pool_1d(x: jax.Array, out_size: int, axis: int) -> jax.Array:

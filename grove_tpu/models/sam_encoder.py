@@ -189,9 +189,15 @@ class SamBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, C)
+    def __call__(self, x, branch=None):  # (B, H, W, C)
+        """Quant mode threads an UNADDED (x, branch) residual carry:
+        callers pass the previous block's pending MLP branch and receive
+        (resid, mlp_branch) back, so every residual add fuses into a
+        norm site's one-pass add+LN+quant kernel instead of
+        materializing between blocks (see `ops.fused_ln`). bf16 mode
+        keeps the reference dataflow (`image_encoder.py` Block.forward).
+        """
         cfg = self.cfg
-        shortcut = x
         attn = SamAttention(cfg,
                             input_size=(self.window_size or cfg.grid),
                             window=self.window_size,
@@ -200,19 +206,23 @@ class SamBlock(nn.Module):
                        dtype=self.dtype, quant_w8a8=cfg.quant_w8a8,
                        static_act=cfg.quant_static_act, name="mlp")
         if cfg.quant_w8a8:
-            # norms emit their output already int8 (one fused pass in
-            # static mode — see LayerNormQuant); the residual stream
-            # stays in the compute dtype
-            xq, sx = LayerNormQuant(eps=cfg.layer_norm_eps,
-                                    static_act=cfg.quant_static_act,
-                                    use_kernel=cfg.quant_ln_kernel,
-                                    name="norm1")(x)
-            x = shortcut + attn(xq, sx)
-            hq, s2 = LayerNormQuant(eps=cfg.layer_norm_eps,
-                                    static_act=cfg.quant_static_act,
-                                    use_kernel=cfg.quant_ln_kernel,
-                                    name="norm2")(x)
-            return x + mlp(hq, s2)
+            # norms emit their output already int8 (one fused
+            # add+LN+quant pass in static mode — see LayerNormQuant);
+            # the residual stream stays in the compute dtype
+            norm1 = LayerNormQuant(eps=cfg.layer_norm_eps,
+                                   static_act=cfg.quant_static_act,
+                                   use_kernel=cfg.quant_ln_kernel,
+                                   name="norm1")
+            if branch is None:
+                xq, sx = norm1(x)
+            else:
+                x, xq, sx = norm1(x, branch)
+            x, hq, s2 = LayerNormQuant(eps=cfg.layer_norm_eps,
+                                       static_act=cfg.quant_static_act,
+                                       use_kernel=cfg.quant_ln_kernel,
+                                       name="norm2")(x, attn(xq, sx))
+            return x, mlp(hq, s2)
+        shortcut = x
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm1")(x)
         x = shortcut + attn(x)
@@ -280,11 +290,19 @@ class SamImageEncoder(nn.Module):
         n_adapter = 0
         block_cls = (nn.remat(SamBlock, prevent_cse=False)
                      if self.remat else SamBlock)
+        branch = None   # quant mode: pending un-added MLP branch
         for i in range(cfg.depth):
             is_global = i in cfg.global_attn_indexes
-            x = block_cls(cfg,
-                          window_size=0 if is_global else cfg.window_size,
-                          dtype=self.dtype, name=f"blocks_{i}")(x)
+            blk = block_cls(cfg,
+                            window_size=0 if is_global else cfg.window_size,
+                            dtype=self.dtype, name=f"blocks_{i}")
+            if cfg.quant_w8a8:
+                x, branch = blk(x, branch)
+                if is_global:      # adapter/neck need the materialized sum
+                    x = x + branch
+                    branch = None
+            else:
+                x = blk(x)
             if is_global:
                 g = cfg.grid
                 grid5 = x.reshape(b, t, g, g, cfg.embed_dim)
@@ -295,6 +313,8 @@ class SamImageEncoder(nn.Module):
                 x = grid5.reshape(b * t, g, g, cfg.embed_dim)
                 n_adapter += 1
 
+        if branch is not None:
+            x = x + branch
         # neck in fp32 (reference guards against fp16 overflow here)
         xf = x.astype(jnp.float32)
         xf = nn.Conv(cfg.out_chans, (1, 1), use_bias=False,

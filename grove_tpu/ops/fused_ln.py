@@ -26,6 +26,74 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+def _add_kernel(a_ref, b_ref, g_ref, bt_ref, r_ref, q_ref, *, eps: float):
+    r = a_ref[...] + b_ref[...]          # residual add in the input dtype
+    r_ref[...] = r
+    xf = r.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    d = xf - mu
+    var = jnp.mean(d * d, axis=1, keepdims=True)
+    y = d * jax.lax.rsqrt(var + eps) * g_ref[...] + bt_ref[...]
+    q_ref[...] = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def add_layernorm_quant(a, b, gamma, beta, act_scale, *, eps: float = 1e-6,
+                        block_rows: int = 512, use_kernel: bool = True):
+    """Residual add + LayerNorm + static int8 quant, ONE HBM pass.
+
+    Returns (resid, q) with resid = a + b (a's dtype) and
+    ln(resid) ~= q * act_scale.
+
+    Why this exists when `layernorm_quant` alone measured a WASH at full
+    scale: the isolated LN kernel leaves the residual add, the clamp
+    chain, and the pallas boundary copies OUTSIDE (profiled b16 SAM:
+    kernels 47 ms but +49 ms bare adds, +152 ms clamp_converts, +106 ms
+    copies — net zero). Subsuming the add and emitting BOTH outputs
+    leaves nothing to materialize around the site: traffic is
+    read a + read b + write resid + write int8 = 4.5 B/elem vs the XLA
+    chain's measured ~5.5 ms/site (~350 ms of the 2055 ms b16 SAM
+    stage across the 64 norm sites).
+    """
+    c = a.shape[-1]
+    gs = (gamma / act_scale).astype(jnp.float32)
+    bs = (beta / act_scale).astype(jnp.float32)
+    if use_kernel and c % 128 == 0:
+        lead = a.shape[:-1]
+        n = 1
+        for d_ in lead:
+            n *= d_
+        a2 = a.reshape(n, c)
+        b2 = b.reshape(n, c).astype(a.dtype)
+        grid = (pl.cdiv(n, block_rows),)
+        resid, q = pl.pallas_call(
+            functools.partial(_add_kernel, eps=eps),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+                pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+                pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, c), a.dtype),
+                jax.ShapeDtypeStruct((n, c), jnp.int8),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(a2, b2, gs.reshape(1, c), bs.reshape(1, c))
+        return resid.reshape(*lead, c), q.reshape(*lead, c)
+    resid = a + b.astype(a.dtype)
+    xf = resid.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    d = xf - mu
+    var = (d * d).mean(-1, keepdims=True)
+    y = d * jax.lax.rsqrt(var + eps) * gs + bs
+    return resid, jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
 def _kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
     xf = x_ref[...].astype(jnp.float32)
     mu = jnp.mean(xf, axis=1, keepdims=True)

@@ -25,6 +25,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
+# The grouped kernels compute softmax as exp2(logits - EXP2_SHIFT) with
+# logits pre-multiplied by log2(e) OUTSIDE the kernel (folded into q's
+# scale and the rel tables). Subtracting a CONSTANT power of two instead
+# of the per-row max drops the most expensive VPU pass (a full (S, S)
+# lane-reduction) and is numerically EXACT vs max-subtraction — a 2^-C
+# shift only changes float exponents — until terms more than ~96 binades
+# below 2^EXP2_SHIFT underflow, which softmax discards anyway. The only
+# failure mode is every logit sitting below 2^(EXP2_SHIFT-126) (an
+# all-underflow row -> denom guard returns zeros); post-LN attention
+# logits are orders of magnitude inside the safe range.
+EXP2_SHIFT = 32.0
 
 
 def relpos_terms(q, rel_pos_h, rel_pos_w, hw: Tuple[int, int]):
@@ -179,6 +191,11 @@ def _grouped_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
         bias_w = jnp.dot(rw_ref[g], expand_cols,
                          preferred_element_type=jnp.float32)
         logits = logits + bias_h + bias_w
+        # classic max-subtracted softmax: the exp2 constant-shift form
+        # used by the v2 kernel was tried here and blew the 16 MB scoped
+        # VMEM at the S=1024 global shape (the bf16 p + f32 sum-convert
+        # temps outweigh the dropped max); 4 global blocks aren't worth
+        # a tighter rewrite
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         # normalize AFTER the PV dot (see _grouped_kernel_v2): one
@@ -330,7 +347,7 @@ def folded_window_attention_relpos(q, k, v, rel_h_term, rel_w_term,
     return out.reshape(b, nh, s, d).transpose(0, 2, 1, 3)
 
 
-def _grouped_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+def _grouped_kernel_v2(q_ref, k_ref, v_ref, r_ref, o_ref, *,
                        scale: float, grid_h: int, grid_w: int,
                        group: int, heads: int, head_dim: int):
     """Layout-preserving variant: blocks are (G, S, H*D) — the raw dense
@@ -338,14 +355,22 @@ def _grouped_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
     so the (B*H, S, D) fold/unfold transposes (~2 GB of HBM churn per
     call at SAM-H shapes) never happen.
 
-    Measured at the SAM-H windowed shape (288x196x16x80): 8.3 ms vs the
-    grouped v1 kernel's 8.9 and the flash kernel's 11.0 — the best
-    variant, but only at group<=2 (the 16-head unroll exceeds the 16 MB
-    VMEM scoped limit at larger groups) and within ~6% of v1, so v1
-    remains the dispatched default; this stays as the measured next step
-    for a future layout-aware SamAttention refactor."""
+    The decomposed rel-pos bias rides ONE dot per head: r_ref packs
+    [rel_h_term | rel_w_term] per head on lanes ((G, S, H*(gh+gw))) and
+    the combined 0/1 expansion matrix stacks the row/col selectors, so
+
+        bias = [rh | rw] @ [[E_rows], [E_cols]]
+             = rel_h_term[q, k//gw] + rel_w_term[q, k%gw]
+
+    exactly. vs the previous two K=14 bias dots this cuts the per-head
+    MXU passes from 16 to 12 (each K<=128 dot costs a full 128-lane
+    contraction pass regardless of K). The kernel is VPU-bound on the
+    (S, S) f32 softmax passes, so the bigger win is the exp2
+    constant-shift form (see EXP2_SHIFT): no scale multiply, no max
+    lane-reduction."""
     s = q_ref.shape[1]
     dt = q_ref.dtype
+    gs = grid_h + grid_w
 
     col = jax.lax.broadcasted_iota(jnp.int32, (grid_h, s), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (grid_h, s), 0)
@@ -353,13 +378,14 @@ def _grouped_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
     colw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, s), 1)
     xw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, s), 0)
     expand_cols = (colw % grid_w == xw).astype(dt)      # (gw, s)
+    expand = jnp.concatenate([expand_rows, expand_cols], axis=0)
+    ones8 = jnp.ones((s, 8), dt)   # denominator rides the MXU (col 0)
 
     def per(g, _):
         qf = q_ref[g]                          # (s, heads*head_dim)
         kf = k_ref[g]
         vf = v_ref[g]
-        rhf = rh_ref[g]                        # (s, heads*gh)
-        rwf = rw_ref[g]
+        rf = r_ref[g]                          # (s, heads*(gh+gw))
         # heads unrolled in python: the lane slices must be STATIC
         # (dynamic lane slicing is unsupported in Mosaic); per-head
         # stores keep at most one (s, s) logits temp live
@@ -367,46 +393,85 @@ def _grouped_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
             q = qf[:, h * head_dim:(h + 1) * head_dim]
             k = kf[:, h * head_dim:(h + 1) * head_dim]
             v = vf[:, h * head_dim:(h + 1) * head_dim]
-            rh = rhf[:, h * grid_h:(h + 1) * grid_h]   # (s, gh)
-            rw = rwf[:, h * grid_w:(h + 1) * grid_w]   # (s, gw)
+            rhw = rf[:, h * gs:(h + 1) * gs]           # (s, gh+gw)
             logits = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            logits = logits + jnp.dot(rh, expand_rows,
-                                      preferred_element_type=jnp.float32)
-            logits = logits + jnp.dot(rw, expand_cols,
-                                      preferred_element_type=jnp.float32)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
+                preferred_element_type=jnp.float32)
+            bias = jnp.dot(rhw, expand,
+                           preferred_element_type=jnp.float32)
+            logits = logits + bias
+            # exp2 with a constant power-of-two shift — no scale mul and
+            # no max pass; exact (see EXP2_SHIFT). scale*log2e rides in
+            # q / the rel terms (wrapper). p lands directly in the dot
+            # dtype so the whole (S, S) elementwise chain is ONE pass.
+            p = jnp.exp2(logits - EXP2_SHIFT).astype(dt)
+            # denominator via the MXU (p @ ones, one extra N-tile) —
+            # cheaper than a (S, S) lane-reduction on the VPU; precision
+            # matches the PV dot (same bf16-rounded p, f32 accumulate)
+            denom = jax.lax.dot_general(
+                p, ones8, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0:1]
             # normalize AFTER the PV dot: divides an (s, d) tile instead
             # of the (s, s) probability matrix (2.45x fewer elements at
-            # s=196, d=80), and the f32 division after the bf16 dot is
-            # slightly MORE accurate than normalizing bf16 inputs
-            denom = jnp.sum(p, axis=-1, keepdims=True)
-            out = jnp.dot(p.astype(dt), v,
-                          preferred_element_type=jnp.float32) / denom
+            # s=196, d=80)
+            out = (jnp.dot(p, v, preferred_element_type=jnp.float32)
+                   / jnp.maximum(denom, 1e-30))
             o_ref[g, :, h * head_dim:(h + 1) * head_dim] = \
                 out.astype(o_ref.dtype)
         return 0
 
+    # fori (not python-unrolled): unrolling the group loop was measured
+    # at 15.0 ms vs 14.2 at the b16 shape — Mosaic keeps every unrolled
+    # chain's (s, s) f32 logits temp live (34 MB scoped VMEM at group 4,
+    # compile error), with no pipelining win to show for it
     jax.lax.fori_loop(0, group, per, 0)
 
 
+def relpos_terms_raw(q, rel_pos_h, rel_pos_w, hw: Tuple[int, int],
+                     num_heads: int):
+    """Rel terms straight in the v2 kernel's packed lane layout.
+
+    q: (B, S, H*D) raw projection output. Returns (B, S, H*(gh+gw)) =
+    per head [rel_h_term | rel_w_term] concatenated on lanes.
+
+    vs `relpos_terms` + transpose: the einsums here BATCH over the query
+    row/col ("bxwnc,xkc->bxwnk": batch x), so the operand is a free
+    bitcast view of raw q and the output is already (b, qh, qw, h, k)
+    row-major — no (B, H, S, g) materialization and no
+    (0, 2, 1, 3) transposes (profiled ~85 ms of fusion+copy per b16 SAM
+    forward producing the old layout)."""
+    h, w = hw
+    b, s, c = q.shape
+    hd = c // num_heads
+    from .sam_encoder_tables import gather_rel_tables  # lazy, avoids cycle
+    Rh, Rw = gather_rel_tables(rel_pos_h, rel_pos_w, h, w)
+    r_q = q.reshape(b, h, w, num_heads, hd)           # free view of raw q
+    rel_h = jnp.einsum("bxwnc,xkc->bxwnk", r_q, Rh.astype(q.dtype))
+    rel_w = jnp.einsum("bxwnc,wkc->bxwnk", r_q, Rw.astype(q.dtype))
+    packed = jnp.concatenate([rel_h, rel_w], axis=-1)  # (b,h,w,nh,gh+gw)
+    return packed.reshape(b, s, num_heads * (h + w))
+
+
 @functools.partial(jax.jit, static_argnames=("hw", "num_heads", "group"))
-def grouped_window_attention_relpos_v2(q, k, v, rel_h_term, rel_w_term,
+def grouped_window_attention_relpos_v2(q, k, v, rel_packed,
                                        hw: Tuple[int, int],
                                        num_heads: int, group: int = 8):
     """q/k/v: (B, S, H*D) raw projection outputs (B = #windows).
-    rel terms as produced by `relpos_terms` ((B, H, S, gh/gw))."""
+    rel_packed as produced by `relpos_terms_raw` ((B, S, H*(gh+gw)))."""
     b, s, c = q.shape
     gh, gw = hw
     hd = c // num_heads
     scale = 1.0 / math.sqrt(hd)
     while b % group != 0:
         group //= 2
-    # (B, H, S, g*) -> (B, S, H*g*): small tensors (g* ~ 14 vs D = 80)
-    rhf = rel_h_term.transpose(0, 2, 1, 3).reshape(b, s, num_heads * gh)
-    rwf = rel_w_term.transpose(0, 2, 1, 3).reshape(b, s, num_heads * gw)
+
+    # scale*log2e folds into q, log2e into the packed rel terms (both
+    # fuse into their XLA producers in-model); the kernel then runs exp2
+    # with no scale multiply and no max pass — see EXP2_SHIFT
+    q = (q * jnp.asarray(scale * LOG2E, q.dtype)).astype(q.dtype)
+    rel_packed = (rel_packed
+                  * jnp.asarray(LOG2E, rel_packed.dtype)).astype(
+                      rel_packed.dtype)
 
     kernel = functools.partial(_grouped_kernel_v2, scale=scale, grid_h=gh,
                                grid_w=gw, group=group, heads=num_heads,
@@ -421,16 +486,14 @@ def grouped_window_attention_relpos_v2(q, k, v, rel_h_term, rel_w_term,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, s, num_heads * gh), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, s, num_heads * gw), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, num_heads * (gh + gw)),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v, rhf, rwf)
+    )(q, k, v, rel_packed)
 
 
 def _folded_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
@@ -550,13 +613,8 @@ def sam_window_attention_raw(q, k, v, rel_pos_h, rel_pos_w,
 
 
 def _window_raw_fwd_impl(q, k, v, rel_pos_h, rel_pos_w, hw, num_heads):
-    b, s, c = q.shape
-    hd = c // num_heads
-    # head-split VIEW for the small rel-term einsum (trailing-dim reshape,
-    # no data movement); the big q/k/v tensors stay raw
-    rh, rw = relpos_terms(q.reshape(b, s, num_heads, hd),
-                          rel_pos_h, rel_pos_w, hw)
-    return grouped_window_attention_relpos_v2(q, k, v, rh, rw, hw,
+    rel = relpos_terms_raw(q, rel_pos_h, rel_pos_w, hw, num_heads)
+    return grouped_window_attention_relpos_v2(q, k, v, rel, hw,
                                               num_heads, group=2)
 
 

@@ -62,3 +62,39 @@ def test_bf16_input(rng):
     got = np.asarray(layernorm_quant(x, g, b, jnp.asarray(0.05)))
     want = _reference(np.asarray(x, np.float32), g, b, 0.05, 1e-6)
     assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all()
+
+
+def test_add_ln_quant_matches_chain(rng):
+    """Fused add+LN+quant (two outputs) == add then the reference chain,
+    including a ragged last block and bf16 inputs."""
+    from grove_tpu.ops.fused_ln import add_layernorm_quant
+    a = jnp.asarray(rng.normal(size=(21, 256)), jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(21, 256)), jnp.bfloat16)
+    g = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    bt = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    s = jnp.asarray(0.021, jnp.float32)
+    resid, q = add_layernorm_quant(a, b, g, bt, s, eps=1e-6, block_rows=8)
+    want_resid = np.asarray(a + b, np.float32)
+    np.testing.assert_array_equal(np.asarray(resid, np.float32), want_resid)
+    want_q = _reference(want_resid, g, bt, s, 1e-6)
+    diff = np.abs(np.asarray(q).astype(np.int32) - want_q.astype(np.int32))
+    assert (diff <= 1).all()
+    # bf16 inputs land many normalized values near .5 rounding
+    # boundaries, where the kernel's pre-folded (g/s, b/s) arithmetic
+    # legitimately differs from the post-divide chain by 1 LSB
+    assert (diff == 0).mean() > 0.9
+
+
+def test_add_ln_quant_leading_dims(rng):
+    """(B, H, W, C) input keeps its shape on both outputs."""
+    from grove_tpu.ops.fused_ln import add_layernorm_quant
+    a = jnp.asarray(rng.normal(size=(2, 3, 4, 128)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 3, 4, 128)).astype(np.float32))
+    g = jnp.ones((128,), jnp.float32)
+    bt = jnp.zeros((128,), jnp.float32)
+    resid, q = add_layernorm_quant(a, b, g, bt, jnp.asarray(0.03))
+    assert resid.shape == a.shape and q.shape == a.shape
+    assert q.dtype == jnp.int8
+    want = _reference(np.asarray(a) + np.asarray(b), g, bt, 0.03, 1e-6)
+    assert (np.abs(np.asarray(q).astype(int)
+                   - want.reshape(2, 3, 4, 128).astype(int)) <= 1).all()

@@ -204,3 +204,20 @@ def test_sampling_decode(setup, rng):
                            **common)
     assert (np.asarray(g_c).tolist() != np.asarray(g_a).tolist()
             or np.asarray(g_a).tolist() != np.asarray(g_greedy).tolist())
+
+
+def test_encode_grounding_auto_chunks_match_direct(setup):
+    """Auto-chunked SAM encode == the single-launch path bit for bit,
+    and the chunk picker keeps every launch under the frame ceiling."""
+    from grove_tpu.infer.jit_utils import (apply_jit,
+                                           encode_grounding_auto)
+    cfg, model, variables = setup
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.normal(size=(
+        6, cfg.num_frames, cfg.sam_enc.img_size, cfg.sam_enc.img_size,
+        3)).astype(np.float32))
+    want = apply_jit(model, variables, frames, method="encode_grounding")
+    got = encode_grounding_auto(model, variables, frames,
+                                max_frames=2 * cfg.num_frames)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -129,20 +129,30 @@ def test_grouped_dispatch_and_gradients(rng):
 def test_grouped_v2_layout_preserving_matches_xla(rng):
     """v2 kernel consumes raw (B, S, H*D) projections (no fold
     transposes); outputs must match the bias-materializing XLA path."""
-    from grove_tpu.ops.sam_attention import grouped_window_attention_relpos_v2
+    from grove_tpu.ops.sam_attention import (
+        grouped_window_attention_relpos_v2, relpos_terms_raw)
     q4, k4, v4, rel_h, rel_w, hw = _setup(rng, b=6, gh=14, gw=14, nh=4,
                                           d=8)
     d = q4.shape[-1]
     bias = decomposed_rel_pos_bias(q4, rel_h, rel_w, hw)
     want = np.asarray(xla_attention(q4, k4, v4, bias=bias,
                                     scale=1.0 / math.sqrt(d)))
-    rh, rw = relpos_terms(q4, rel_h, rel_w, hw)
 
     def flat(x):  # (B,S,H,D) -> (B,S,H*D)
         b, s, h, dd = x.shape
         return x.reshape(b, s, h * dd)
+    rel = relpos_terms_raw(flat(q4), rel_h, rel_w, hw, 4)
+    # packed layout == the old per-head (B,H,S,g) terms, re-interleaved
+    rh, rw = relpos_terms(q4, rel_h, rel_w, hw)
+    b_, s_ = q4.shape[:2]
+    want_rel = np.concatenate(
+        [np.asarray(rh).transpose(0, 2, 1, 3),
+         np.asarray(rw).transpose(0, 2, 1, 3)], axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(rel).reshape(b_, s_, 4, -1), want_rel,
+        rtol=1e-5, atol=1e-5)
     got = grouped_window_attention_relpos_v2(
-        flat(q4), flat(k4), flat(v4), rh, rw, hw, num_heads=4, group=3)
+        flat(q4), flat(k4), flat(v4), rel, hw, num_heads=4, group=3)
     got = np.asarray(got).reshape(want.shape[0], want.shape[1], 4, d)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
