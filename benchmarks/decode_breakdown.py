@@ -113,9 +113,11 @@ def main():
     hkv, hd = lcfg.num_kv_heads, lcfg.head_dim
     nh = lcfg.num_heads
     q = jax.jit(lambda: jnp.ones((b, nh, hd), jnp.bfloat16))()
-    ck = jnp.asarray(rng.integers(-127, 127, size=(b, hkv, hd, C)),
+    # row-major (B, Hkv, C, D) slab — the DUS-friendly layout the kernel
+    # takes since the lane-offset rewrite (ops/decode_attention.py)
+    ck = jnp.asarray(rng.integers(-127, 127, size=(b, hkv, C, hd)),
                      jnp.int8)
-    cv = jnp.asarray(rng.integers(-127, 127, size=(b, hkv, hd, C)),
+    cv = jnp.asarray(rng.integers(-127, 127, size=(b, hkv, C, hd)),
                      jnp.int8)
     cks = jax.jit(lambda: jnp.ones((b, hkv, C), jnp.bfloat16) * 0.01)()
     cvs = jax.jit(lambda: jnp.ones((b, hkv, C), jnp.bfloat16) * 0.01)()

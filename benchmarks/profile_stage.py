@@ -55,6 +55,36 @@ def parse_trace(trace_dir):
     return per_op
 
 
+def parse_trace_scoped(trace_dir):
+    """-> list of (op_name, dur_us, scope_str) for TPU XLA-op events.
+
+    scope_str concatenates every string in the event's args (XLA op
+    metadata: the jax name stack rides in there when present) plus the
+    op name itself, so callers can bucket device time by MODULE path
+    (e.g. "sam_encoder", "mask_decoder", "transpose(jvp(" for bwd) —
+    not just by HLO opcode."""
+    files = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins", "profile", "*", "*.trace.json.gz")))
+    assert files, f"no trace under {trace_dir}"
+    with gzip.open(files[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    tpu_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and "XLA Ops" in str(e.get("args", {}).get("name", ""))}
+    out = []
+    for e in events:
+        if (e.get("ph") == "X" and e.get("pid") in tpu_pids
+                and (e["pid"], e.get("tid")) in op_tids and "dur" in e):
+            scope = " ".join(str(v) for v in (e.get("args") or {}).values())
+            out.append((e.get("name", "?"), e["dur"],
+                        scope + " " + e.get("name", "?")))
+    return out
+
+
 def print_table(per_op, top, total_scale=1.0):
     total = sum(per_op.values())
     print(f"\ntotal device time: {total/1e3*total_scale:.2f} ms "

@@ -9,6 +9,14 @@ a resident decode loop between ticks.
 
 Run: python benchmarks/serving_bench.py [--model_size small] [--n 12]
         [--mean_gap_ms 150]
+
+Full-scale mode (`--model_size full`): the 8.42B flagship serving config
+(int4 LLM weights, W8A8 vision towers, synthetic weights built as zeros
+directly in the serving dtypes — the full_scale.py pattern; timing is
+value-independent). The batch engine runs with `pad_batches=True` so it
+compiles ONE decode shape — the r2 relay wedge tracked the batch
+engine's shape diversity (group sizes x prompt windows), and padding
+removes it at the source.
 """
 
 import argparse
@@ -24,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def run_workload(submit, clips, gaps, max_new):
+def run_workload(submit, clips, gaps, max_new, join_timeout=900.0):
     """Fire requests with the given inter-arrival gaps; return latencies
     (seconds, per request in arrival order) and makespan."""
     n = len(gaps)
@@ -48,7 +56,7 @@ def run_workload(submit, clips, gaps, max_new):
         threads.append(th)
         time.sleep(gaps[i])
     for th in threads:
-        th.join(timeout=900)
+        th.join(timeout=join_timeout)
     makespan = time.time() - t0
     if errs:
         raise RuntimeError(errs)
@@ -58,11 +66,16 @@ def run_workload(submit, clips, gaps, max_new):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model_size", default="small",
-                   choices=["tiny", "small"])
+                   choices=["tiny", "small", "full"])
     p.add_argument("--n", default=12, type=int)
     p.add_argument("--mean_gap_ms", default=150.0, type=float)
     p.add_argument("--max_new", default=32, type=int)
     p.add_argument("--slots", default=4, type=int)
+    p.add_argument("--engines", default="batch,continuous",
+                   help="comma list: batch, continuous")
+    p.add_argument("--timeout_s", default=300.0, type=float,
+                   help="per-request submit timeout (raise for the cold "
+                        "full-scale compile)")
     p.add_argument("--output", default=None)
     args = p.parse_args()
 
@@ -82,12 +95,43 @@ def main():
     from grove_tpu.text.tokenizer import special_token_ids_from
 
     tok = MockTokenizer()
-    cfg = {"tiny": GroveConfig.tiny, "small": GroveConfig.small}[
-        args.model_size]()
-    cfg = dataclasses.replace(cfg, tokens=special_token_ids_from(tok))
-    dtype = jnp.float32 if args.model_size == "tiny" else jnp.bfloat16
-    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
-                                         dtype=dtype, batch=1)
+    if args.model_size == "full":
+        # flagship serving config (BENCH_FULL_*: int4 LLM, W8A8 vision);
+        # zeros directly in the serving dtypes — a real fp32 init + cast
+        # peaks at double bytes through the relay and OOMs (full_scale.py)
+        from grove_tpu.models.grove import GroveModel
+        cfg = GroveConfig()
+        cfg = dataclasses.replace(
+            cfg, tokens=special_token_ids_from(tok),
+            llama=dataclasses.replace(cfg.llama, weight_quant=True,
+                                      weight_quant_bits=4, act_quant=True),
+            clip=dataclasses.replace(cfg.clip, quant_w8a8=True,
+                                     quant_static_act=True),
+            sam_enc=dataclasses.replace(cfg.sam_enc, quant_w8a8=True,
+                                        quant_static_act=True))
+        shapes = jax.eval_shape(
+            lambda r: init_grove_params(cfg, r, dtype=jnp.bfloat16,
+                                        batch=1)[1]["params"],
+            jax.random.PRNGKey(0))
+        tgt = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(
+                a.shape, jnp.bfloat16
+                if a.dtype == jnp.float32 and len(a.shape) > 1 else a.dtype),
+            shapes)
+        params = jax.jit(lambda: jax.tree.map(
+            lambda a: jnp.zeros(a.shape, a.dtype), tgt))()
+        params = jax.tree_util.tree_map_with_path(
+            lambda kp, x: (jnp.ones_like(x)
+                           if "act_scale" in str(kp[-1]) else x), params)
+        model = GroveModel(cfg, dtype=jnp.bfloat16)
+        variables = {"params": params}
+    else:
+        cfg = {"tiny": GroveConfig.tiny, "small": GroveConfig.small}[
+            args.model_size]()
+        cfg = dataclasses.replace(cfg, tokens=special_token_ids_from(tok))
+        dtype = jnp.float32 if args.model_size == "tiny" else jnp.bfloat16
+        model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                             dtype=dtype, batch=1)
     proc = GroveProcessor(tok, cfg)
 
     root = tempfile.mkdtemp(prefix="serving_bench_")
@@ -102,20 +146,30 @@ def main():
               "mean_gap_ms": args.mean_gap_ms, "max_new": args.max_new,
               "slots": args.slots}
 
-    for name, build in (
-            ("batch", lambda: BatchingEngine(
-                proc, model, variables, max_batch=args.slots)),
-            ("continuous", lambda: ContinuousService(
-                proc, model, variables, n_slots=args.slots,
-                max_new_tokens=args.max_new))):
-        eng = build()
+    builders = {
+        # full scale pads every group to one compiled decode shape (see
+        # module docstring: the r2 wedge was shape diversity)
+        "batch": lambda: BatchingEngine(
+            proc, model, variables, max_batch=args.slots,
+            pad_batches=(args.model_size == "full")),
+        "continuous": lambda: ContinuousService(
+            proc, model, variables, n_slots=args.slots,
+            max_new_tokens=args.max_new),
+    }
+    report["pad_batches"] = args.model_size == "full"
+    for name in args.engines.split(","):
+        eng = builders[name]()
+        submit = lambda payload: eng.submit(payload,  # noqa: E731
+                                            timeout=args.timeout_s)
         try:
             # pass 1 warms every compiled shape the workload hits (the
             # batch engine compiles per group size, the continuous engine
             # per prompt bucket); pass 2 is the steady-state measurement
-            run_workload(eng.submit, clips, gaps, args.max_new)
-            lat, makespan = run_workload(eng.submit, clips, gaps,
-                                         args.max_new)
+            run_workload(submit, clips, gaps, args.max_new,
+                         join_timeout=args.timeout_s + 60)
+            lat, makespan = run_workload(submit, clips, gaps,
+                                         args.max_new,
+                                         join_timeout=args.timeout_s + 60)
         finally:
             eng.close()
         report[name] = {

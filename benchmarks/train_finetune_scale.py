@@ -56,6 +56,11 @@ def main():
     p.add_argument("--f32_params", action="store_true",
                    help="f32 trainable masters (no stochastic rounding)")
     p.add_argument("--iters", default=3, type=int)
+    p.add_argument("--profile", action="store_true",
+                   help="trace one step and attribute device time per "
+                        "pipeline stage (sam/clip/llm/ground/opt, "
+                        "fwd vs bwd) + report step MFU from XLA's own "
+                        "cost analysis")
     p.add_argument("--output", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_TRAIN.json"))
@@ -237,6 +242,79 @@ def main():
     # reference throughput context: per-device batch 1, 128 devices
     print(f"  step {secs*1e3:.0f} ms -> {b/secs:.3f} clips/s/chip "
           f"(train fwd+bwd+update)", flush=True)
+
+    if args.profile:
+        # per-stage attribution: one traced step, ops bucketed by the jax
+        # name stack riding in the XLA op metadata (VERDICT r2 #8 — give
+        # training the serving treatment)
+        import re
+        import tempfile
+
+        from profile_stage import parse_trace_scoped
+        tdir = tempfile.mkdtemp(prefix="prof_train_")
+        with jax.profiler.trace(tdir):
+            carry, loss = step_j(carry, frozen, batch)
+            fetch(loss)
+        events = parse_trace_scoped(tdir)
+        stages = {"sam": r"sam_encoder|image_enc",
+                  "clip": r"clip",
+                  "llm": r"llama|lm_head|embed_tokens",
+                  "ground": r"mask_decoder|prompt_enc|sam_decoder|region"
+                            r"|ground",
+                  "optimizer": r"adam|scale_by|apply_updates|stochastic"
+                               r"|multi_steps|optimizer"}
+        bwd_pat = re.compile(r"transpose\(jvp|transpose\[.*jvp|/vjp|"
+                             r"backward_pass|rematted")
+        stage_us = {k: 0.0 for k in stages}
+        stage_us.update({"other": 0.0})
+        fwd_us = bwd_us = 0.0
+        total_us = 0.0
+        for name, dur, scope in events:
+            total_us += dur
+            s = scope.lower()
+            for k, pat in stages.items():
+                if re.search(pat, s):
+                    stage_us[k] += dur
+                    break
+            else:
+                stage_us["other"] += dur
+            if bwd_pat.search(scope):
+                bwd_us += dur
+            else:
+                fwd_us += dur
+        report["profiled_step_ms"] = round(total_us / 1e3, 1)
+        report["stage_ms"] = {k: round(v / 1e3, 1)
+                              for k, v in sorted(stage_us.items(),
+                                                 key=lambda kv: -kv[1])}
+        report["fwd_ms"] = round(fwd_us / 1e3, 1)
+        report["bwd_ms"] = round(bwd_us / 1e3, 1)
+        print("  stage breakdown (device ms): " +
+              "  ".join(f"{k}={v/1e3:.0f}"
+                        for k, v in sorted(stage_us.items(),
+                                           key=lambda kv: -kv[1])) +
+              f"  | fwd={fwd_us/1e3:.0f} bwd={bwd_us/1e3:.0f}",
+              flush=True)
+        # MFU from XLA's own flop count of the compiled step (includes
+        # remat recompute and the bwd), against the datasheet peak
+        try:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (carry, frozen, batch))
+            ca = (step_j.lower(*abstract).compile().cost_analysis())
+            if isinstance(ca, list):
+                ca = ca[0] if ca else {}
+            flops = float(ca.get("flops", 0.0))
+            if flops > 0:
+                report["step_tflops"] = round(flops / 1e12, 2)
+                report["tflops_per_s"] = round(flops / secs / 1e12, 1)
+                report["mfu_vs_v5e_bf16"] = round(
+                    flops / secs / 1e12 / 197.0, 3)
+                print(f"  {report['tflops_per_s']} TF/s "
+                      f"(MFU {report['mfu_vs_v5e_bf16']:.1%} of v5e bf16 "
+                      f"peak; XLA-counted {report['step_tflops']} TF/step "
+                      f"incl. remat+bwd)", flush=True)
+        except Exception as e:  # cost analysis is best-effort
+            print(f"  cost_analysis unavailable: {e}", flush=True)
 
     with open(args.output, "w") as f:
         json.dump(report, f, indent=1)

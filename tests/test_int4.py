@@ -213,14 +213,23 @@ def test_int4_pick_blocks_respects_vmem_budget():
     from grove_tpu.ops.int4_matmul import (_pick_blocks, _vmem_bytes,
                                            _VMEM_BUDGET)
     # prefill shape: big M, wide N — heuristic picks large bm under budget
-    bm, bn = _pick_blocks(10240, 11008, 128, 2, 2, 0, 0)
-    assert bm >= 256 and bn >= 128
+    bm, bn, sp = _pick_blocks(10240, 11008, 128, 2, 2, 0, 0, 16)
+    assert bm >= 256 and bn >= 128 and sp == 1
     assert _vmem_bytes(bm, bn, 128, 2, 2) <= _VMEM_BUDGET
-    # decode shape: tiny M keeps the exact-fit behavior
-    bm, bn = _pick_blocks(8, 4096, 128, 2, 2, 0, 0)
-    assert bm == 8
+    # decode shape: tiny M spans super-groups of K to cut grid cells
+    # (per-cell DMA overhead dominates at m <= 64; see _pick_supers_bn)
+    bm, bn, sp = _pick_blocks(8, 4096, 128, 2, 2, 0, 0, 16)
+    assert bm == 8 and sp > 1 and 16 % sp == 0
+    assert _vmem_bytes(bm, bn, 128, 2, 2, sp) <= _VMEM_BUDGET
+    # prime k_steps (LLaMA down-proj: K=11008 -> 43): whole-K cells with
+    # a narrowed bn rather than falling back to 43 thin cells
+    bm, bn, sp = _pick_blocks(16, 4096, 128, 2, 2, 0, 0, 43)
+    assert sp in (1, 43)
+    assert (4096 // bn) * (43 // sp) <= 43
+    assert _vmem_bytes(bm, bn, 128, 2, 2, sp) <= _VMEM_BUDGET
     # an over-budget explicit request is shrunk, not honored blindly
-    bm, bn = _pick_blocks(4096, 4096, 512, 4, 4, 4096, 4096)
+    bm, bn, sp = _pick_blocks(4096, 4096, 512, 4, 4, 4096, 4096, 4)
+    assert sp == 1
     assert _vmem_bytes(bm, bn, 512, 4, 4) <= _VMEM_BUDGET
 
 
