@@ -44,6 +44,41 @@ torch = pytest.importorskip("torch")
 REFERENCE = "/root/reference"
 
 
+def _stub_reference_deps():
+    """Register import stubs for the reference's CUDA-era deps that are
+    absent in this env (torchvision / mmdet / mmcv / mmengine). None of
+    the stubbed symbols execute in this test: GIoU is loss-path only and
+    the region encoder is replaced with Identity before construction —
+    the stubs only satisfy module-top-level imports."""
+    import types
+
+    import importlib.machinery
+
+    def mod(name, **attrs):
+        m = sys.modules.get(name) or types.ModuleType(name)
+        if m.__spec__ is None:
+            # transformers probes importlib.util.find_spec(...), which
+            # raises ValueError on a module with __spec__ == None
+            m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    def _unused(*a, **kw):  # pragma: no cover - must never be called
+        raise AssertionError("stubbed reference dep was called")
+
+    tv = mod("torchvision")
+    tv.ops = mod("torchvision.ops", generalized_box_iou_loss=_unused)
+    mm = mod("mmdet")
+    mm.models = mod("mmdet.models", BaseRoIExtractor=type(
+        "BaseRoIExtractor", (torch.nn.Module,), {}))
+    mc = mod("mmcv")
+    mc.cnn = mod("mmcv.cnn", ConvModule=_unused, Linear=torch.nn.Linear)
+    me = mod("mmengine")
+    me.model = mod("mmengine.model", normal_init=_unused)
+
+
 def _tiny_cfg():
     from grove_tpu.config import GroveConfig
     cfg = GroveConfig.tiny()
@@ -57,6 +92,7 @@ def _build_reference_grove(cfg):
     """The reference's own GROVEForCausalLM at tiny scale."""
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
+    _stub_reference_deps()
     import model.GROVE as ref_grove_mod
     import model.llava.llava_with_region_arch as ref_arch
     from model.llava.model.language_model.llava_llama import Llava1Config
@@ -97,6 +133,9 @@ def _build_reference_grove(cfg):
         attn_implementation="eager",
     )
     hf_cfg.mm_vision_select_layer = -2
+    # normally carried by the checkpoint's config.json; read at
+    # `llava_with_region_arch.py:116` even when bboxes is None
+    hf_cfg.num_level_reg_features = 4
     hf_cfg.eos_token_id = cfg.tokens.eos
     hf_cfg.bos_token_id = cfg.tokens.bos
     hf_cfg.pad_token_id = cfg.tokens.pad
@@ -120,11 +159,54 @@ def _build_reference_grove(cfg):
     finally:
         ref_grove_mod.build_sam_vit_h = orig_build
         ref_arch.MLVLROIQueryModule = orig_region
+    _shim_transformers_457(model)
     return model
 
 
-def test_composed_evaluate_matches_reference(rng):
+def _shim_transformers_457(model):
+    """Restore the reference's pinned transformers==4.46.3 generate
+    semantics under this env's 4.57.
+
+    The reference's `prepare_inputs_for_generation` override
+    (`llava_llama.py:158-159`) decides "are we past the prefill?" with
+    `if past_key_values:` — under 4.46 the first step passes
+    past_key_values=None, but 4.57's generate pre-allocates a
+    DynamicCache whose truthiness is version-dependent, which can slice
+    the PROMPT to its last token on step 0 and silently skip the video
+    splice (observed: every captured hidden state came out (1, 1, H)).
+    The shim maps an empty cache to None — exactly the 4.46 contract —
+    and drops the attention mask (batch-1, unpadded: the causal mask the
+    model builds internally is identical; the 4.57 mask bookkeeping
+    counts un-spliced positions and desyncs from the spliced stream)."""
+    orig = model.prepare_inputs_for_generation
+
+    def patched(input_ids, past_key_values=None, **kwargs):
+        empty = (past_key_values is None
+                 or past_key_values.get_seq_length() == 0)
+        kwargs.pop("attention_mask", None)
+        kwargs.pop("cache_position", None)
+        out = orig(input_ids,
+                   past_key_values=None if empty else past_key_values,
+                   attention_mask=None, **kwargs)
+        return out
+
+    # 4.57's _validate_model_kwargs whitelists kwargs by inspecting THIS
+    # method's signature (GROVE.forward is (**kwargs), so it contributes
+    # nothing) — keep the original's explicit parameter list visible.
+    import inspect
+    patched.__signature__ = inspect.signature(orig)
+    model.prepare_inputs_for_generation = patched
+
+
+def test_composed_evaluate_matches_reference(rng, monkeypatch):
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
     from utils.utils import IMAGE_TOKEN_INDEX  # noqa: E402 (ref on path)
+
+    # the reference hardcodes `.cuda()` on a tiny offset tensor
+    # (`model/GROVE.py:260`); this env is CPU-torch — make it a no-op
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **kw: self, raising=True)
 
     from grove_tpu.checkpoint.torch_convert import (convert_state_dict,
                                                     merge_into)
