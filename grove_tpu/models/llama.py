@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LlamaConfig
-from ..ops.attention import multi_head_attention, xla_attention
+from ..ops.attention import (multi_head_attention, prefill_attention_ok,
+                             prefill_attention_raw,
+                             prefill_attention_trainable, xla_attention)
 from .layers import Int4Dense, Int8Dense, RMSNorm
 
 
@@ -141,13 +143,31 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, cos, sin)
 
         new_cache = None
+        use_raw = (jax.default_backend() == "tpu"
+                   and cfg.num_kv_heads == cfg.num_heads
+                   and prefill_attention_ok(
+                       (b, s, cfg.num_heads * hd), cfg.num_heads))
         if kv_cache is None:
             # pure self-attention (training / teacher-forced inference)
             if cfg.num_kv_heads != cfg.num_heads:
                 reps = cfg.num_heads // cfg.num_kv_heads
                 k = jnp.repeat(k, reps, axis=2)
                 v = jnp.repeat(v, reps, axis=2)
-            out = multi_head_attention(q, k, v, causal=True, mask=attn_mask)
+            from ..ops.attention import _block_for
+            if use_raw and attn_mask is None and _block_for(s) is None:
+                # ragged S (e.g. the 624-token serving prompt): the flash
+                # path would pad to the next 512-block (624 -> 1024) and
+                # fold heads through HBM transposes; the raw-layout
+                # one-pass kernel does neither (its (B, S, H, D) reshapes
+                # are free views). Block-aligned S (training's 640/704)
+                # keeps the fused flash fwd+bwd kernels.
+                out = prefill_attention_trainable(
+                    q.reshape(b, s, -1), k.reshape(b, s, -1),
+                    v.reshape(b, s, -1), cfg.num_heads,
+                    1.0 / (hd ** 0.5)).reshape(b, s, cfg.num_heads, hd)
+            else:
+                out = multi_head_attention(q, k, v, causal=True,
+                                           mask=attn_mask)
         elif "k_s" in kv_cache:
             # int8 KV cache, row-major (B, Hkv, C, D) layout with
             # per-token-per-head absmax scales. Decode (s == 1) runs the
@@ -196,15 +216,31 @@ class LlamaAttention(nn.Module):
                     reps = cfg.num_heads // cfg.num_kv_heads
                     kk = jnp.repeat(kk, reps, axis=2)
                     vv = jnp.repeat(vv, reps, axis=2)
-                kidx = jnp.arange(s)[None, None, None, :]
-                qidx = jnp.arange(s)[None, None, :, None]
-                mask = kidx <= qidx
-                if pad_lens is not None:
-                    kabs = cache_offset + kidx
-                    mask = mask & ((kabs >= pad_lens[:, None, None, None])
-                                   | (kidx == qidx))
-                out = xla_attention(q, kk.astype(q.dtype),
-                                    vv.astype(q.dtype), mask=mask)
+                if use_raw:
+                    # serving prefill: fused causal+left-pad masking in
+                    # the raw-layout kernel — the old xla path streamed
+                    # the (B, H, S, S) f32 logits through HBM
+                    pad_eff = (pad_lens - cache_offset
+                               if pad_lens is not None
+                               else jnp.zeros((b,), jnp.int32))
+                    out = prefill_attention_raw(
+                        q.reshape(b, s, -1),
+                        kk.astype(q.dtype).reshape(b, s, -1),
+                        vv.astype(q.dtype).reshape(b, s, -1),
+                        pad_eff, cfg.num_heads,
+                        1.0 / (hd ** 0.5)).reshape(b, s,
+                                                   cfg.num_heads, hd)
+                else:
+                    kidx = jnp.arange(s)[None, None, None, :]
+                    qidx = jnp.arange(s)[None, None, :, None]
+                    mask = kidx <= qidx
+                    if pad_lens is not None:
+                        kabs = cache_offset + kidx
+                        mask = mask & ((kabs
+                                        >= pad_lens[:, None, None, None])
+                                       | (kidx == qidx))
+                    out = xla_attention(q, kk.astype(q.dtype),
+                                        vv.astype(q.dtype), mask=mask)
         else:
             # write into the cache at cache_offset, attend over the prefix
             ck = jax.lax.dynamic_update_slice(

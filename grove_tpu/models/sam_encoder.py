@@ -150,6 +150,16 @@ class SamAttention(nn.Module):
             qkv = _dense(cfg, 3 * c, self.dtype, "qkv")(x.reshape(nb, s, c))
         q, k, v = jnp.split(qkv, 3, axis=-1)          # (nb, s, c) raw
 
+        # W8A8 serving with installed static scales: this module owns the
+        # proj input's calibrated scale so the windowed kernel can emit
+        # proj's int8 input directly (`proj_absmax` is sown on the
+        # dynamic/calibration path below; `ops.quant.install_act_scales`
+        # turns it into the `proj_act_scale` param read here)
+        static_ready = (cfg.quant_w8a8 and cfg.quant_static_act
+                        and not self.is_mutable_collection("act_stats"))
+        pscale = (self.param("proj_act_scale", nn.initializers.ones,
+                             (), jnp.float32) if static_ready else None)
+        out_q8 = None   # int8 proj input straight from the kernel
         if cfg.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * self.input_size - 1, hd), jnp.float32)
@@ -158,7 +168,12 @@ class SamAttention(nn.Module):
             # bias is computed from the UNSCALED q and added after the
             # q@k scaling (`image_encoder.py:310-315`); the fused kernels
             # stream the decomposed bias instead of materializing S x S
-            if win > 0 and s <= 256:
+            if win > 0 and s <= 256 and static_ready:
+                from ..ops.sam_attention import sam_window_attention_raw_q8
+                out_q8 = sam_window_attention_raw_q8(
+                    q, k, v, rel_h, rel_w, hw, nh, pscale)    # int8
+                out = out_q8
+            elif win > 0 and s <= 256:
                 from ..ops.sam_attention import sam_window_attention_raw
                 out = sam_window_attention_raw(q, k, v, rel_h, rel_w,
                                                hw, nh)       # (nb, s, c)
@@ -179,7 +194,27 @@ class SamAttention(nn.Module):
                                      win, pad_hw, (h, w))
         else:
             out = out.reshape(b, h, w, c)
-        out = _dense(cfg, c, self.dtype, "proj")(out.reshape(b, h * w, c))
+        out = out.reshape(b, h * w, c)
+        proj = _dense(cfg, c, self.dtype, "proj")
+        if not cfg.quant_w8a8:
+            return proj(out).reshape(b, h, w, c)
+        if out_q8 is not None:
+            # kernel already quantized with the static proj scale; the
+            # unpartition above moved int8 bytes (half the bf16 traffic)
+            out = proj(out, pscale)
+        elif static_ready:
+            # global blocks / fallback shapes: one fused elementwise
+            # quantize with the same static scale
+            from .layers import quant_act_static
+            xq, _ = quant_act_static(out, pscale)
+            out = proj(xq, pscale)
+        else:
+            # dynamic serving + the calibration pass: per-token quant
+            # here (this module owns the stat) so proj never re-quantizes
+            from .layers import _sow_absmax as _sow
+            _sow(self, "proj_absmax", out)
+            xq, sxd = quant_act(out)
+            out = proj(xq, sxd)
         return out.reshape(b, h, w, c)
 
 

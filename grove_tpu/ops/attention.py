@@ -172,6 +172,137 @@ def flash_attention(q, k, v, *, causal: bool = False,
     return out[:, :sq]
 
 
+# ---------------------------------------------------------------------------
+# One-pass causal prefill attention on RAW (B, S, H*D) layout
+# ---------------------------------------------------------------------------
+#
+# The LLM prefill (S ~ 624, D = 128, MHA) was paying for attention three
+# times over (profiled at b16, benchmarks/prefill_breakdown.py):
+#   * `flash_attention` pads 624 -> 1024 (block_q 512): 33 ms of pads and
+#     64% wasted rows;
+#   * the (B, S, H, D) -> (B*H, S, D) fold/unfold transposes: ~40 ms of
+#     the 55 ms copy bucket;
+#   * the serving path (int8-KV branch) took `xla_attention` with a
+#     materialized mask — (B, H, S, S) f32 logits through HBM.
+# At S <= ~1100 the whole (S, S) logits tile fits VMEM, so this kernel
+# does ONE full-S softmax per (batch, head-group) cell — the same shape
+# the SAM v2 kernel proved out — with heads split by static 128-aligned
+# lane slices (D % 128 == 0), causal + left-pad masking fused on the
+# logits, and no layout change anywhere: q/k/v blocks are free views of
+# the RoPE output. Full-S does ~2x the causal-optimal QK FLOPs, but at
+# S=624 that is ~20 ms of MXU time vs the ~100 ms of pads+copies+slow
+# flash it replaces.
+
+
+def _prefill_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref, *, scale: float,
+                    head_dim: int, heads_per_group: int):
+    b = pl.program_id(0)
+    pad = pad_ref[b]                                   # left-pad count
+    s = q_ref.shape[1]
+    dt = q_ref.dtype
+
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    # causal over equal-length fresh q/k; left-pad slots masked except
+    # self-attention (a fully-masked row softmaxes to NaN and poisons
+    # later layers through its k/v — see LlamaAttention)
+    valid = (kpos <= qpos) & ((kpos >= pad) | (kpos == qpos))
+
+    for h in range(heads_per_group):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(valid, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = (jnp.dot(p.astype(dt), v,
+                       preferred_element_type=jnp.float32)
+               / jnp.maximum(denom, 1e-30))
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def prefill_attention_raw(q, k, v, pad_lens, num_heads: int,
+                          scale: float) -> jax.Array:
+    """Causal self-attention over fresh q/k/v in RAW (B, S, H*D) layout.
+
+    pad_lens: (B,) int32 — number of leading key slots to mask per
+    sample (0 = pure causal). Returns (B, S, H*D)."""
+    b, s, c = q.shape
+    hd = c // num_heads
+    # head-group size: keep the 4 streamed blocks near ~2.5 MB so the
+    # (S, S) f32 logits tile + bf16 p fit comfortably in VMEM
+    hpg = num_heads
+    while hpg > 1 and (4 * s * hpg * hd * 2 > 3 * 2 ** 20
+                       or num_heads % hpg):
+        hpg -= 1
+    lanes = hpg * hd
+
+    kernel = functools.partial(_prefill_kernel, scale=scale, head_dim=hd,
+                               heads_per_group=hpg)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, num_heads // hpg),
+        in_specs=[
+            pl.BlockSpec((1, s, lanes), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, lanes), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, lanes), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, lanes), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, pad_lens.astype(jnp.int32))
+
+
+def prefill_attention_ok(q_shape, num_heads: int) -> bool:
+    """Eligibility: MHA head layout with 128-aligned lane slices and an
+    (S, S) logits tile that fits VMEM next to the streamed blocks."""
+    b, s, c = q_shape
+    hd = c // num_heads
+    return (hd % 128 == 0 and c == num_heads * hd and s % 8 == 0
+            and 128 <= s <= 1100)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def prefill_attention_trainable(q, k, v, num_heads, scale):
+    """`prefill_attention_raw` (pure causal) with a recompute backward
+    through the XLA path, for the cache-free teacher-forced forward."""
+    pad = jnp.zeros((q.shape[0],), jnp.int32)
+    return prefill_attention_raw(q, k, v, pad, num_heads, scale)
+
+
+def _prefill_fwd(q, k, v, num_heads, scale):
+    return prefill_attention_trainable(q, k, v, num_heads, scale), (q, k, v)
+
+
+def _prefill_bwd(num_heads, scale, res, g):
+    q, k, v = res
+    b, s, c = q.shape
+    hd = c // num_heads
+
+    def head(x):
+        return x.reshape(b, s, num_heads, hd)
+
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xla_attention(
+            head(q_), head(k_), head(v_), causal=True,
+            scale=scale).reshape(b, s, c), q, k, v)
+    return vjp(g)
+
+
+prefill_attention_trainable.defvjp(_prefill_fwd, _prefill_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_with_vjp(q, k, v, causal, scale):
     return flash_attention(q, k, v, causal=causal, scale=scale)

@@ -347,9 +347,10 @@ def folded_window_attention_relpos(q, k, v, rel_h_term, rel_w_term,
     return out.reshape(b, nh, s, d).transpose(0, 2, 1, 3)
 
 
-def _grouped_kernel_v2(q_ref, k_ref, v_ref, r_ref, o_ref, *,
+def _grouped_kernel_v2(q_ref, k_ref, v_ref, r_ref, *rest,
                        scale: float, grid_h: int, grid_w: int,
-                       group: int, heads: int, head_dim: int):
+                       group: int, heads: int, head_dim: int,
+                       quantize: bool = False):
     """Layout-preserving variant: blocks are (G, S, H*D) — the raw dense
     outputs — with heads split by STATIC lane slices inside the kernel,
     so the (B*H, S, D) fold/unfold transposes (~2 GB of HBM churn per
@@ -367,7 +368,17 @@ def _grouped_kernel_v2(q_ref, k_ref, v_ref, r_ref, o_ref, *,
     contraction pass regardless of K). The kernel is VPU-bound on the
     (S, S) f32 softmax passes, so the bigger win is the exp2
     constant-shift form (see EXP2_SHIFT): no scale multiply, no max
-    lane-reduction."""
+    lane-reduction.
+
+    `quantize=True` (serving W8A8-static): an extra SMEM scalar operand
+    carries 1/act_scale and the epilogue emits the proj's int8 input
+    directly — the bf16 attention output never reaches HBM, the
+    window-unpartition that follows moves half the bytes, and the
+    standalone quantize pass before proj disappears."""
+    if quantize:
+        inv_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     s = q_ref.shape[1]
     dt = q_ref.dtype
     gs = grid_h + grid_w
@@ -416,6 +427,8 @@ def _grouped_kernel_v2(q_ref, k_ref, v_ref, r_ref, o_ref, *,
             # s=196, d=80)
             out = (jnp.dot(p, v, preferred_element_type=jnp.float32)
                    / jnp.maximum(denom, 1e-30))
+            if quantize:
+                out = jnp.clip(jnp.round(out * inv_ref[0]), -127.0, 127.0)
             o_ref[g, :, h * head_dim:(h + 1) * head_dim] = \
                 out.astype(o_ref.dtype)
         return 0
@@ -494,6 +507,63 @@ def grouped_window_attention_relpos_v2(q, k, v, rel_packed,
         out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
         interpret=jax.default_backend() != "tpu",
     )(q, k, v, rel_packed)
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "num_heads", "group"))
+def grouped_window_attention_relpos_v2_q8(q, k, v, rel_packed, inv_scale,
+                                          hw: Tuple[int, int],
+                                          num_heads: int, group: int = 8):
+    """v2 kernel with the int8 epilogue (see `_grouped_kernel_v2`,
+    quantize=True): returns round(out / act_scale) as int8 (B, S, H*D).
+    `inv_scale`: (1,) f32 = 1 / act_scale (per-tensor static)."""
+    b, s, c = q.shape
+    gh, gw = hw
+    hd = c // num_heads
+    scale = 1.0 / math.sqrt(hd)
+    while b % group != 0:
+        group //= 2
+
+    q = (q * jnp.asarray(scale * LOG2E, q.dtype)).astype(q.dtype)
+    rel_packed = (rel_packed
+                  * jnp.asarray(LOG2E, rel_packed.dtype)).astype(
+                      rel_packed.dtype)
+
+    kernel = functools.partial(_grouped_kernel_v2, scale=scale, grid_h=gh,
+                               grid_w=gw, group=group, heads=num_heads,
+                               head_dim=hd, quantize=True)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[
+            pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, s, num_heads * (gh + gw)),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), jnp.int8),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, rel_packed, inv_scale.astype(jnp.float32).reshape(1))
+
+
+def sam_window_attention_raw_q8(q, k, v, rel_pos_h, rel_pos_w,
+                                hw: Tuple[int, int], num_heads: int,
+                                act_scale):
+    """Inference-only windowed SAM attention emitting the proj's int8
+    input directly (W8A8-static serving). Same contract as
+    `sam_window_attention_raw` but returns int8 quantized with the
+    per-tensor `act_scale` (the proj's calibrated input scale). No VJP:
+    the W8A8-static path never trains."""
+    rel = relpos_terms_raw(q, rel_pos_h, rel_pos_w, hw, num_heads)
+    inv = 1.0 / jnp.maximum(act_scale.astype(jnp.float32), 1e-12)
+    return grouped_window_attention_relpos_v2_q8(q, k, v, rel, inv, hw,
+                                                 num_heads, group=2)
 
 
 def _folded_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,

@@ -99,3 +99,43 @@ def test_grouped_plain_matches_xla_ragged(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_prefill_raw_matches_xla_causal_pad(rng):
+    """Raw-layout one-pass prefill kernel == XLA with the serving mask
+    (causal + left-pad slots masked except self-attention), and the
+    trainable wrapper's grads match the XLA recompute path."""
+    from grove_tpu.ops.attention import (prefill_attention_raw,
+                                         prefill_attention_trainable)
+
+    b, s, h, d = 2, 24, 4, 16
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    pad = jnp.asarray([0, 5], jnp.int32)
+
+    kidx = jnp.arange(s)[None, None, None, :]
+    qidx = jnp.arange(s)[None, None, :, None]
+    mask = (kidx <= qidx) & ((kidx >= pad[:, None, None, None])
+                             | (kidx == qidx))
+    want = np.asarray(xla_attention(q, k, v, mask=mask))
+
+    got = np.asarray(prefill_attention_raw(
+        q.reshape(b, s, -1), k.reshape(b, s, -1), v.reshape(b, s, -1),
+        pad, h, float(1.0 / np.sqrt(d)))).reshape(b, s, h, d)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    scale = float(1.0 / np.sqrt(d))
+
+    def loss_raw(q, k, v):
+        return jnp.sum(prefill_attention_trainable(
+            q.reshape(b, s, -1), k.reshape(b, s, -1),
+            v.reshape(b, s, -1), h, scale) ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, causal=True,
+                                     scale=scale) ** 2)
+
+    g1 = jax.grad(loss_raw, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-3, atol=5e-4)

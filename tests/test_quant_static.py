@@ -59,7 +59,9 @@ def test_sam_static_act_calibration(rng):
     assert "absmax" in stats["blocks_0"]["norm1"]
     assert "absmax" in stats["blocks_0"]["norm2"]
     assert "absmax" in stats["blocks_0"]["mlp"]["lin2"]
-    assert "absmax" in stats["blocks_0"]["attn"]["proj"]
+    # the attention module owns the proj input's stat so the windowed
+    # kernel can emit proj's int8 input directly (int8 epilogue)
+    assert "proj_absmax" in stats["blocks_0"]["attn"]
     assert "absmax" in stats["adapters_0"]["conv3d"]
     # multi-batch merge is an elementwise max
     merged = merge_act_stats(stats, stats)
@@ -67,8 +69,10 @@ def test_sam_static_act_calibration(rng):
     assert float(np.asarray(ps["blocks_0"]["norm1"]["act_scale"])) > 0
     assert "act_scale" in ps["blocks_0"]["mlp"]["lin2"]
     assert "act_scale" in ps["adapters_0"]["conv3d"]
+    assert "proj_act_scale" in ps["blocks_0"]["attn"]
     # LN-fused sites own the scale; their consumers don't re-quantize
     assert "act_scale" not in ps["blocks_0"]["attn"]["qkv"]
+    assert "act_scale" not in ps["blocks_0"]["attn"]["proj"]
     assert "act_scale" not in ps["blocks_0"]["mlp"]["lin1"]
 
     st = SamImageEncoder(cfg=_with(cfg, quant_w8a8=True,
