@@ -157,7 +157,10 @@ class Int4Dense(nn.Module):
     act_quant: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, sx=None):
+        """`sx` given means `x` is ALREADY per-token int8 (a fused norm
+        producer quantized it, x ~= x_int8 * sx) — the int8-view path
+        consumes it directly; other paths dequantize and proceed."""
         from ..ops.quant import unpack_int4
 
         k = x.shape[-1]
@@ -179,6 +182,12 @@ class Int4Dense(nn.Module):
         # benchmarks/prefill_breakdown.py); see the class docstring.
         on_tpu = (jax.default_backend() == "tpu"
                   and group % 128 == 0 and self.features % 128 == 0)
+        if sx is not None and not (on_tpu and tokens >= 64
+                                   and self.act_quant):
+            # pre-quantized input but no int8-dot path here: dequantize
+            # (exact: int8 * its own scale) and continue generic
+            x = (x.astype(jnp.float32) * sx).astype(self.dtype)
+            sx = None
         # act_quant only pays on multi-token shapes (decode rows are
         # weight-read-bound; quantizing them measured +0.4 ms/step)
         if on_tpu and tokens >= 64 and self.act_quant:
@@ -202,11 +211,15 @@ class Int4Dense(nn.Module):
             s8 = jnp.max(scale, axis=0) * (7.0 / 127.0)   # (N,) f32
             mult = jnp.round(scale / s8 * 256.0).astype(jnp.int32)
             q8 = int4_requant_int8(kernel_p, mult)
-            xq, sx = quant_act(x.reshape(tokens, k))
+            if sx is not None:
+                xq = x.reshape(tokens, k)
+                sxt = sx.reshape(tokens, 1)
+            else:
+                xq, sxt = quant_act(x.reshape(tokens, k))
             y = jax.lax.dot_general(
                 xq, q8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            y = (y * sx * s8).reshape(*lead, self.features)
+            y = (y * sxt * s8).reshape(*lead, self.features)
         elif on_tpu and tokens >= 64:
             # bf16 view + XLA dot (compute-bound at prefill shapes).
             # jax.checkpoint so the materialized 2-byte view is
@@ -307,14 +320,24 @@ class LayerNormQuant(nn.Module):
 
 
 class RMSNorm(nn.Module):
-    """LLaMA RMSNorm; stats in fp32."""
+    """LLaMA RMSNorm; stats in fp32.
+
+    `quant_dyn=True` (W8A8 serving prefill) dispatches the one-pass
+    add+RMSNorm+dynamic-int8 kernel (`ops.fused_ln.add_rmsnorm_quant_dyn`)
+    and returns (resid, q8, sx) with resid = x + branch — the XLA chain
+    runs this as four passes per norm site. Param tree is unchanged."""
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, branch=None, quant_dyn: bool = False):
         dtype = x.dtype
         w = self.param("weight", nn.initializers.ones, (x.shape[-1],),
                        jnp.float32)
+        if quant_dyn:
+            from ..ops.fused_ln import add_rmsnorm_quant_dyn
+            return add_rmsnorm_quant_dyn(x, branch, w, eps=self.eps)
+        if branch is not None:
+            x = x + branch.astype(dtype)
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         out = xf * jax.lax.rsqrt(var + self.eps)
