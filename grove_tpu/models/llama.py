@@ -108,25 +108,34 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_offset=None,
-                 attn_mask=None, pad_lens=None):
+                 attn_mask=None, pad_lens=None, sx=None):
         """pad_lens (B,): number of LEFT-pad positions per sample; padded
         cache slots are masked out of every query's attention (enables
-        batched generation over unequal-length prompts)."""
+        batched generation over unequal-length prompts).
+
+        `sx` given means `x` arrived per-token int8 from a fused
+        add+RMSNorm+quant producer (x ~= x_int8 * sx); the Int4Dense
+        projections consume the pair directly (see Int4Dense.__call__)."""
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
         nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
+
+        def proj(features, name):
+            d = _dense(cfg, features, self.dtype, name)
+            return d(x, sx) if isinstance(d, Int4Dense) else d(x)
+
         if cfg.fused_qkv:
             # one wide matmul; columns are independent dot products, so
             # splitting afterwards is bit-identical to three matmuls
-            qkv = _dense(cfg, nq + 2 * nkv, self.dtype, "qkv_proj")(x)
+            qkv = proj(nq + 2 * nkv, "qkv_proj")
             q = qkv[..., :nq]
             k = qkv[..., nq:nq + nkv]
             v = qkv[..., nq + nkv:]
         else:
-            q = _dense(cfg, nq, self.dtype, "q_proj")(x)
-            k = _dense(cfg, nkv, self.dtype, "k_proj")(x)
-            v = _dense(cfg, nkv, self.dtype, "v_proj")(x)
+            q = proj(nq, "q_proj")
+            k = proj(nkv, "k_proj")
+            v = proj(nkv, "v_proj")
         if cfg.lora_r > 0:
             # reference LoRA targets q_proj/v_proj (`train.py:52`)
             q = q + LoraDelta(cfg.num_heads * hd, cfg.lora_r, cfg.lora_alpha,
@@ -278,18 +287,20 @@ class LlamaMLP(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, sx=None):
         cfg = self.cfg
+
+        def proj(features, name):
+            d = _dense(cfg, features, self.dtype, name)
+            return d(x, sx) if isinstance(d, Int4Dense) else d(x)
+
         if cfg.fused_qkv:
-            gu = _dense(cfg, 2 * cfg.intermediate_size, self.dtype,
-                        "gate_up_proj")(x)
+            gu = proj(2 * cfg.intermediate_size, "gate_up_proj")
             gate = gu[..., :cfg.intermediate_size]
             up = gu[..., cfg.intermediate_size:]
         else:
-            gate = _dense(cfg, cfg.intermediate_size, self.dtype,
-                          "gate_proj")(x)
-            up = _dense(cfg, cfg.intermediate_size, self.dtype,
-                        "up_proj")(x)
+            gate = proj(cfg.intermediate_size, "gate_proj")
+            up = proj(cfg.intermediate_size, "up_proj")
         h = nn.silu(gate) * up
         return _dense(cfg, cfg.hidden_size, self.dtype, "down_proj")(h)
 
@@ -300,14 +311,38 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_offset=None,
-                 attn_mask=None, pad_lens=None):
-        h = RMSNorm(eps=self.cfg.rms_norm_eps, name="input_layernorm")(x)
+                 attn_mask=None, pad_lens=None, branch=None,
+                 fuse_ln=False):
+        """`fuse_ln` (W4A8 serving prefill): both norm sites run the
+        one-pass add+RMSNorm+dynamic-quant kernel and the block threads
+        an un-added (resid, branch) carry — the residual add at every
+        block boundary fuses into the NEXT norm's pass instead of
+        running as its own HBM round trip (the XLA chain profiled ~119
+        ms across a b16 prefill's 64 norm sites). Returns
+        ((resid, branch), cache); caller adds at materialization points
+        (final norm, hidden-state taps)."""
+        eps = self.cfg.rms_norm_eps
+        if fuse_ln:
+            resid, q8, sx = RMSNorm(eps=eps, name="input_layernorm")(
+                x, branch, quant_dyn=True)
+            attn_out, new_cache = LlamaAttention(
+                self.cfg, dtype=self.dtype, name="self_attn")(
+                    q8, positions, kv_cache, cache_offset, attn_mask,
+                    pad_lens, sx=sx)
+            resid, q8, sx = RMSNorm(eps=eps,
+                                    name="post_attention_layernorm")(
+                resid, attn_out, quant_dyn=True)
+            mlp_out = LlamaMLP(self.cfg, dtype=self.dtype, name="mlp")(
+                q8, sx)
+            return (resid, mlp_out), new_cache
+        if branch is not None:
+            x = x + branch
+        h = RMSNorm(eps=eps, name="input_layernorm")(x)
         attn_out, new_cache = LlamaAttention(
             self.cfg, dtype=self.dtype, name="self_attn")(
                 h, positions, kv_cache, cache_offset, attn_mask, pad_lens)
         x = x + attn_out
-        h = RMSNorm(eps=self.cfg.rms_norm_eps,
-                    name="post_attention_layernorm")(x)
+        h = RMSNorm(eps=eps, name="post_attention_layernorm")(x)
         x = x + LlamaMLP(self.cfg, dtype=self.dtype, name="mlp")(h)
         return x, new_cache
 
@@ -329,7 +364,11 @@ class LlamaModel(nn.Module):
     @nn.compact
     def __call__(self, inputs_embeds, positions, kv_caches=None,
                  cache_offset=None, attn_mask=None, pad_lens=None):
+        import os
+
+        cfg = self.cfg
         x = inputs_embeds.astype(self.dtype)
+        b, s = x.shape[:2]
         constrain = (
             (lambda h: jax.lax.with_sharding_constraint(h,
                                                         self.act_sharding))
@@ -337,18 +376,38 @@ class LlamaModel(nn.Module):
             else (lambda h: h))
         x = constrain(x)
         new_caches = [] if kv_caches is not None else None
+        # Fused add+RMSNorm+dynamic-quant carry: W4A8 serving multi-token
+        # shapes only (the kernel has no VJP; LoRA reads the bf16 normed
+        # activations; decode rows stay bf16 — see Int4Dense dispatch).
+        fuse_ln = ((jax.default_backend() == "tpu"
+                    or os.environ.get("GROVE_FUSED_LN_INTERPRET") == "1")
+                   and cfg.weight_quant and cfg.weight_quant_bits == 4
+                   and cfg.act_quant and cfg.lora_r == 0
+                   and s > 1 and b * s >= 64
+                   and cfg.hidden_size % 128 == 0
+                   and self.act_sharding is None
+                   and not (self.remat and kv_caches is None))
         block_cls = LlamaBlock
         if self.remat and kv_caches is None:
             block_cls = nn.remat(LlamaBlock, prevent_cse=False)
+        branch = None
         for i in range(self.cfg.num_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None
-            x, nc = block_cls(self.cfg, dtype=self.dtype,
-                              name=f"layers_{i}")(
-                x, positions, cache_i, cache_offset, attn_mask, pad_lens)
-            x = constrain(x)
+            block = block_cls(self.cfg, dtype=self.dtype,
+                              name=f"layers_{i}")
+            if fuse_ln:
+                (x, branch), nc = block(x, positions, cache_i,
+                                        cache_offset, attn_mask, pad_lens,
+                                        branch=branch, fuse_ln=True)
+            else:
+                # remat path keeps the original signature (a bool kwarg
+                # would be traced by jax.checkpoint into a tracer)
+                x, nc = block(x, positions, cache_i, cache_offset,
+                              attn_mask, pad_lens)
+                x = constrain(x)
             if new_caches is not None:
                 new_caches.append(nc)
-        x = RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)
+        x = RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x, branch)
         return x, new_caches
 
 

@@ -155,10 +155,15 @@ class SamAttention(nn.Module):
         # proj's int8 input directly (`proj_absmax` is sown on the
         # dynamic/calibration path below; `ops.quant.install_act_scales`
         # turns it into the `proj_act_scale` param read here)
-        static_ready = (cfg.quant_w8a8 and cfg.quant_static_act
+        static_mode = cfg.quant_w8a8 and cfg.quant_static_act
+        static_ready = (static_mode
                         and not self.is_mutable_collection("act_stats"))
+        # declared whenever static mode is on (NOT gated on static_ready:
+        # init makes every collection mutable, so gating on the
+        # calibration check would skip creation at init and the serving
+        # apply would then miss the param — LayerNormQuant precedent)
         pscale = (self.param("proj_act_scale", nn.initializers.ones,
-                             (), jnp.float32) if static_ready else None)
+                             (), jnp.float32) if static_mode else None)
         out_q8 = None   # int8 proj input straight from the kernel
         if cfg.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,

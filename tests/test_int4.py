@@ -264,3 +264,39 @@ def test_int4_int8_view_prefill_math(rng):
     # ~one int8 step of the per-channel scale bounds the re-quant error
     # (fixed-point adds <= 1 extra LSB vs exact f32 rounding)
     np.testing.assert_allclose(deq8, deq4, atol=float(s8.max()) * 1.5 + 1e-7)
+
+
+def test_int4_fused_ln_prefill_parity(rng, monkeypatch):
+    """The fused add+RMSNorm+dynamic-quant carry (W4A8 serving prefill,
+    `LlamaBlock(fuse_ln=True)`) matches the unfused W4A8 forward within
+    per-token act-quant noise. Forced on CPU via GROVE_FUSED_LN_INTERPRET
+    (the Pallas kernel runs in interpret mode; Int4Dense consumes the
+    (q8, sx) pair through its exact dequant fallback)."""
+    import dataclasses
+
+    from grove_tpu.config import LlamaConfig
+    from grove_tpu.models.llama import LlamaModel
+    from grove_tpu.ops.quant import quantize_llama_tree_int4
+
+    cfg = LlamaConfig(vocab_size=128, extra_vocab_size=7, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=4,
+                      num_kv_heads=4, max_position_embeddings=256,
+                      quant_group=64)
+    model = LlamaModel(cfg, dtype=jnp.float32)
+    b, s = 2, 40     # b*s >= 64 so the serving fuse gate engages
+    x = jnp.asarray(rng.normal(size=(b, s, cfg.hidden_size))
+                    .astype(np.float32))
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    variables = model.init(jax.random.PRNGKey(0), x, pos)
+    # patterns expect the full-model "llama/" prefix
+    pq = quantize_llama_tree_int4({"llama": variables["params"]},
+                                  group=64)["llama"]
+    qcfg = dataclasses.replace(cfg, weight_quant=True,
+                               weight_quant_bits=4, act_quant=True)
+    qmodel = LlamaModel(qcfg, dtype=jnp.float32)
+    want = np.asarray(qmodel.apply({"params": pq}, x, pos)[0])
+
+    monkeypatch.setenv("GROVE_FUSED_LN_INTERPRET", "1")
+    got = np.asarray(qmodel.apply({"params": pq}, x, pos)[0])
+    rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-9)
+    assert 0 < rel < 0.05, rel   # 0 would mean the fused path never ran
