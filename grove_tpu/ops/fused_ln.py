@@ -117,7 +117,7 @@ def _rms_quant_body(r, g_ref, q_ref, s_ref, eps: float):
 
 
 def add_rmsnorm_quant_dyn(a, branch, weight, *, eps: float = 1e-6,
-                          block_rows: int = 512, use_kernel: bool = True):
+                          block_rows: int = 0, use_kernel: bool = True):
     """Residual add + RMSNorm + DYNAMIC per-token int8 quant, one pass.
 
     The LLaMA W8A8 serving prefill ran this as four XLA passes per norm
@@ -131,6 +131,12 @@ def add_rmsnorm_quant_dyn(a, branch, weight, *, eps: float = 1e-6,
     c = a.shape[-1]
     g = weight.astype(jnp.float32)
     if use_kernel and c % 128 == 0:
+        if not block_rows:
+            # scoped VMEM budget: the block's f32 stats temps (4C B/row)
+            # dominate alongside double-buffered bf16 I/O (~14C B/row);
+            # 512 rows fit C=1280 (SAM/CLIP) but 20.9M > 16M at C=4096
+            # (LLaMA hidden) — size to ~4 MB of f32 temp per block
+            block_rows = max(64, min(512, (1 << 22) // (4 * c)))
         lead = a.shape[:-1]
         n = 1
         for d_ in lead:
