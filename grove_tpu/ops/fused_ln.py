@@ -132,11 +132,13 @@ def add_rmsnorm_quant_dyn(a, branch, weight, *, eps: float = 1e-6,
     g = weight.astype(jnp.float32)
     if use_kernel and c % 128 == 0:
         if not block_rows:
-            # scoped VMEM budget: the block's f32 stats temps (4C B/row)
-            # dominate alongside double-buffered bf16 I/O (~14C B/row);
-            # 512 rows fit C=1280 (SAM/CLIP) but 20.9M > 16M at C=4096
-            # (LLaMA hidden) — size to ~4 MB of f32 temp per block
-            block_rows = max(64, min(512, (1 << 22) // (4 * c)))
+            # scoped VMEM budget: double-buffered bf16 I/O (a, branch,
+            # resid, q8 ~ 14C B/row) + f32 stats temps (8C B/row);
+            # 256 rows still hit 20.03M > 16M at C=4096 (LLaMA hidden).
+            # Target ~2 MB of f32 temp, rounded down to a power of two
+            # (sublane-aligned blocks): C=4096 -> 128, C<=2048 -> 256+.
+            block_rows = max(64, min(512, (1 << 21) // (4 * c)))
+            block_rows = 1 << (block_rows.bit_length() - 1)
         lead = a.shape[:-1]
         n = 1
         for d_ in lead:
