@@ -1,0 +1,144 @@
+"""Round-4 decode proj-stack variants at the b16 decode shape.
+
+The r3 proj stack (7 int4 matmuls/layer, bf16 activations, int8-native
+nibble unpack) streams ~346 GB/s while the int8-KV attention kernel
+proves ~728 GB/s on the same chip. Two hypotheses for the gap:
+
+1. MXU row under-utilization: at M=16 a (16, K) x (K, N) dot uses 16 of
+   the systolic array's 128 rows, so the weight-stationary passes cost
+   ~8x their ideal streaming time. int8 x int8 dots run the MXU at 2x
+   the bf16 rate -> W4A8 decode (kernel `int4_matmul_a8`) halves that
+   bound. (The old "+0.4 ms/step" rejection of decode act-quant predates
+   both the int8-native unpack and the super-group blocking.)
+2. Launch/grid fixed costs across 224 kernel calls/step -> fused qkv
+   (N=3d) and gate_up (N=2*inter) cut calls to 128/step and fatten
+   each grid's N.
+
+This probe times each variant's 32-layer proj stack in isolation with
+the carry-chained harness.
+
+Run: python benchmarks/decode_probe_r4.py [--batch 16]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from _timing import timed_loop  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", default=16, type=int)
+    p.add_argument("--out", default="")
+    args = p.parse_args()
+
+    from grove_tpu.config import GroveConfig
+    from grove_tpu.ops.int4_matmul import int4_matmul, int4_matmul_a8
+    from grove_tpu.ops.quant import quantize_kernel_int4
+    from grove_tpu.models.layers import quant_act
+
+    cfg = GroveConfig().llama
+    d, inter, nl = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    b = args.batch
+    rng = np.random.default_rng(0)
+    report = {"batch": b}
+
+    def mk(k, n):
+        w = (rng.normal(size=(k, n)) * 0.02).astype(np.float32)
+        q, s = quantize_kernel_int4(w, group=128)
+        return jnp.asarray(q), jnp.asarray(s)
+
+    # per-layer weights, separate and fused layouts (fused = columns
+    # concatenated, bit-identical outputs column-wise)
+    qkv = [mk(d, d) for _ in range(3)]
+    o = mk(d, d)
+    gate, up = mk(d, inter), mk(d, inter)
+    down = mk(inter, d)
+    qkv_f = mk(d, 3 * d)
+    gu_f = mk(d, 2 * inter)
+
+    wbytes_sep = (4 * d * d // 2 + 2 * d * inter // 2 + inter * d // 2
+                  + (4 * (d // 128) * d + 2 * (d // 128) * inter
+                     + (inter // 128) * d) * 4)
+
+    def stack(layer):
+        def f(x):
+            for _ in range(nl):
+                x = layer(x) * 1e-3 + x
+            return x
+        return f
+
+    def run(name, layer, wbytes):
+        secs = timed_loop(stack(layer), x0, iters=3, perturb=0, extra=30,
+                          repeats=3)
+        gbs = nl * wbytes / secs / 1e9
+        report[name] = {"ms": round(secs * 1e3, 2), "gbs": round(gbs, 1)}
+        print(f"{name}: {secs*1e3:.2f} ms ({gbs:.0f} GB/s)", flush=True)
+
+    x0 = jax.jit(lambda: jnp.ones((b, d), jnp.bfloat16))()
+
+    # 1. current production: 7 separate bf16-act matmuls
+    def layer_sep(x):
+        h = sum(int4_matmul(x, q, s, block_m=8) for q, s in qkv)
+        h = int4_matmul(h, *o, block_m=8)
+        a = (int4_matmul(h, *gate, block_m=8)
+             * int4_matmul(h, *up, block_m=8))
+        return int4_matmul(a, *down, block_m=8)
+
+    run("sep_bf16", layer_sep, wbytes_sep)
+
+    # 2. fused qkv + gate_up (4 matmuls/layer)
+    def layer_fused(x):
+        h = int4_matmul(x, *qkv_f, block_m=8)
+        h = h[:, :d] + h[:, d:2 * d] + h[:, 2 * d:]
+        h = int4_matmul(h, *o, block_m=8)
+        gu = int4_matmul(h, *gu_f, block_m=8)
+        a = gu[:, :inter] * gu[:, inter:]
+        return int4_matmul(a, *down, block_m=8)
+
+    run("fused_bf16", layer_fused, wbytes_sep)
+
+    # 3. W4A8: per-token int8 activations, int8 MXU dots
+    def layer_a8(x):
+        xq, sx = quant_act(x)
+        h = sum(int4_matmul_a8(xq, sx, q, s, block_m=8) for q, s in qkv)
+        hq, sh = quant_act(h)
+        h = int4_matmul_a8(hq, sh, *o, block_m=8)
+        a = (int4_matmul_a8(hq, sh, *gate, block_m=8)
+             * int4_matmul_a8(hq, sh, *up, block_m=8))
+        aq, sa = quant_act(a)
+        return int4_matmul_a8(aq, sa, *down, block_m=8)
+
+    run("sep_a8", layer_a8, wbytes_sep)
+
+    # 4. fused + W4A8
+    def layer_fused_a8(x):
+        xq, sx = quant_act(x)
+        h = int4_matmul_a8(xq, sx, *qkv_f, block_m=8)
+        h = h[:, :d] + h[:, d:2 * d] + h[:, 2 * d:]
+        hq, sh = quant_act(h)
+        h = int4_matmul_a8(hq, sh, *o, block_m=8)
+        gu = int4_matmul_a8(hq, sh, *gu_f, block_m=8)
+        a = gu[:, :inter] * gu[:, inter:]
+        aq, sa = quant_act(a)
+        return int4_matmul_a8(aq, sa, *down, block_m=8)
+
+    run("fused_a8", layer_fused_a8, wbytes_sep)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,7 @@ collections.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -28,6 +29,15 @@ from ..ops.attention import (multi_head_attention, prefill_attention_ok,
                              prefill_attention_raw,
                              prefill_attention_trainable, xla_attention)
 from .layers import Int4Dense, Int8Dense, RMSNorm
+
+
+def _fused_ln_interpret() -> bool:
+    """Test/debug knob: run the fused-LN kernel in interpret mode off-TPU.
+
+    Read at TRACE time — flipping the env var after a jitted apply has
+    cached its trace has no effect until the next retrace (each distinct
+    shape/config retraces, which is why the CPU parity test works)."""
+    return os.environ.get("GROVE_FUSED_LN_INTERPRET") == "1"
 
 
 def _dense(cfg: LlamaConfig, features: int, dtype, name: str,
@@ -120,10 +130,21 @@ class LlamaAttention(nn.Module):
         b, s, _ = x.shape
         hd = cfg.head_dim
         nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
+        # The fused-LN int8 carry is only valid when every consumer here
+        # understands the (q8, sx) pair: LoRA deltas read bf16 activations
+        # and non-Int4Dense kernels take plain x. Guard locally instead of
+        # relying on the model-level fuse_ln gate alone (ADVICE r3).
+        assert sx is None or (cfg.lora_r == 0
+                              and cfg.weight_quant_bits == 4), (
+            "fused-LN int8 carry reached an attention config that can't "
+            "consume it (lora_r>0 or non-int4 projections)")
 
         def proj(features, name):
             d = _dense(cfg, features, self.dtype, name)
-            return d(x, sx) if isinstance(d, Int4Dense) else d(x)
+            if isinstance(d, Int4Dense):
+                return d(x, sx)
+            assert sx is None, "int8 carry fed to a non-Int4Dense kernel"
+            return d(x)
 
         if cfg.fused_qkv:
             # one wide matmul; columns are independent dot products, so
@@ -292,7 +313,10 @@ class LlamaMLP(nn.Module):
 
         def proj(features, name):
             d = _dense(cfg, features, self.dtype, name)
-            return d(x, sx) if isinstance(d, Int4Dense) else d(x)
+            if isinstance(d, Int4Dense):
+                return d(x, sx)
+            assert sx is None, "int8 carry fed to a non-Int4Dense kernel"
+            return d(x)
 
         if cfg.fused_qkv:
             gu = proj(2 * cfg.intermediate_size, "gate_up_proj")
@@ -364,8 +388,6 @@ class LlamaModel(nn.Module):
     @nn.compact
     def __call__(self, inputs_embeds, positions, kv_caches=None,
                  cache_offset=None, attn_mask=None, pad_lens=None):
-        import os
-
         cfg = self.cfg
         x = inputs_embeds.astype(self.dtype)
         b, s = x.shape[:2]
@@ -379,12 +401,20 @@ class LlamaModel(nn.Module):
         # Fused add+RMSNorm+dynamic-quant carry: W4A8 serving multi-token
         # shapes only (the kernel has no VJP; LoRA reads the bf16 normed
         # activations; decode rows stay bf16 — see Int4Dense dispatch).
+        # Gate mirrors Int4Dense's on_tpu dispatch (group and feature
+        # widths % 128) so the carry only engages when the int8-dot path
+        # will actually consume it (ADVICE r3); `_fused_ln_interpret()`
+        # is read at TRACE time — a cached jit won't see later env flips.
         fuse_ln = ((jax.default_backend() == "tpu"
-                    or os.environ.get("GROVE_FUSED_LN_INTERPRET") == "1")
+                    or _fused_ln_interpret())
                    and cfg.weight_quant and cfg.weight_quant_bits == 4
                    and cfg.act_quant and cfg.lora_r == 0
                    and s > 1 and b * s >= 64
                    and cfg.hidden_size % 128 == 0
+                   and cfg.quant_group % 128 == 0
+                   and cfg.intermediate_size % 128 == 0
+                   and (cfg.num_heads * cfg.head_dim) % 128 == 0
+                   and (cfg.num_kv_heads * cfg.head_dim) % 128 == 0
                    and self.act_sharding is None
                    and not (self.remat and kv_caches is None))
         block_cls = LlamaBlock
