@@ -278,10 +278,13 @@ def test_int4_fused_ln_prefill_parity(rng, monkeypatch):
     from grove_tpu.models.llama import LlamaModel
     from grove_tpu.ops.quant import quantize_llama_tree_int4
 
-    cfg = LlamaConfig(vocab_size=128, extra_vocab_size=7, hidden_size=128,
+    # dims satisfy the WIDENED fuse_ln gate (round 3, ADVICE): the carry
+    # engages only where Int4Dense's on_tpu dispatch will consume it —
+    # quant_group and every projection width % 128, hidden >= 2*group
+    cfg = LlamaConfig(vocab_size=128, extra_vocab_size=7, hidden_size=256,
                       intermediate_size=256, num_layers=2, num_heads=4,
                       num_kv_heads=4, max_position_embeddings=256,
-                      quant_group=64)
+                      quant_group=128)
     model = LlamaModel(cfg, dtype=jnp.float32)
     b, s = 2, 40     # b*s >= 64 so the serving fuse gate engages
     x = jnp.asarray(rng.normal(size=(b, s, cfg.hidden_size))
@@ -290,7 +293,7 @@ def test_int4_fused_ln_prefill_parity(rng, monkeypatch):
     variables = model.init(jax.random.PRNGKey(0), x, pos)
     # patterns expect the full-model "llama/" prefix
     pq = quantize_llama_tree_int4({"llama": variables["params"]},
-                                  group=64)["llama"]
+                                  group=128)["llama"]
     qcfg = dataclasses.replace(cfg, weight_quant=True,
                                weight_quant_bits=4, act_quant=True)
     qmodel = LlamaModel(qcfg, dtype=jnp.float32)
