@@ -148,7 +148,12 @@ class SamAttention(nn.Module):
                 x.reshape(nb, s, c), sx_arg)
         else:
             qkv = _dense(cfg, 3 * c, self.dtype, "qkv")(x.reshape(nb, s, c))
-        q, k, v = jnp.split(qkv, 3, axis=-1)          # (nb, s, c) raw
+        # the windowed kernels consume qkv UNSPLIT (v3: q/k/v sliced by
+        # static lane offsets in VMEM) — jnp.split here materialized
+        # three (nW, S, C) copies, ~176 ms of a b16 SAM stage
+        fused_window = cfg.use_rel_pos and win > 0 and s <= 256
+        if not fused_window:
+            q, k, v = jnp.split(qkv, 3, axis=-1)      # (nb, s, c) raw
 
         # W8A8 serving with installed static scales: this module owns the
         # proj input's calibrated scale so the windowed kernel can emit
@@ -173,15 +178,16 @@ class SamAttention(nn.Module):
             # bias is computed from the UNSCALED q and added after the
             # q@k scaling (`image_encoder.py:310-315`); the fused kernels
             # stream the decomposed bias instead of materializing S x S
-            if win > 0 and s <= 256 and static_ready:
-                from ..ops.sam_attention import sam_window_attention_raw_q8
-                out_q8 = sam_window_attention_raw_q8(
-                    q, k, v, rel_h, rel_w, hw, nh, pscale)    # int8
+            if fused_window and static_ready:
+                from ..ops.sam_attention import (
+                    sam_window_attention_fused_q8)
+                out_q8 = sam_window_attention_fused_q8(
+                    qkv, rel_h, rel_w, hw, nh, pscale)        # int8
                 out = out_q8
-            elif win > 0 and s <= 256:
-                from ..ops.sam_attention import sam_window_attention_raw
-                out = sam_window_attention_raw(q, k, v, rel_h, rel_w,
-                                               hw, nh)       # (nb, s, c)
+            elif fused_window:
+                from ..ops.sam_attention import sam_window_attention_fused
+                out = sam_window_attention_fused(qkv, rel_h, rel_w,
+                                                 hw, nh)      # (nb, s, c)
             else:
                 from ..ops.sam_attention import sam_attention_with_relpos
                 out = sam_attention_with_relpos(

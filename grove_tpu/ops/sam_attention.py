@@ -440,6 +440,112 @@ def _grouped_kernel_v2(q_ref, k_ref, v_ref, r_ref, *rest,
     jax.lax.fori_loop(0, group, per, 0)
 
 
+def _grouped_kernel_v3(qkv_ref, r_ref, *rest, scale: float, grid_h: int,
+                       grid_w: int, group: int, heads: int, head_dim: int,
+                       quantize: bool = False):
+    """v2 with the FUSED qkv block as one operand: (G, S, 3*H*D) straight
+    from the qkv projection. The jnp.split(qkv, 3) the v2 layout forced
+    was pure data movement — profiled 1.57 ms per windowed block at 32
+    frames (28 three-output (288, 196, 1280) fusions, ~176 ms of a b16
+    SAM stage) plus a 15.3 ms/iter layout copy on the operand XLA chose
+    a {0,2,1} layout for. Heads AND q/k/v are sliced by static lane
+    offsets in VMEM instead. q's pre-softmax scale (scale * log2e for
+    the exp2 form) moves in-kernel as a per-head (S, D) multiply —
+    bit-identical to the wrapper's old bf16 pre-multiply."""
+    if quantize:
+        inv_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    s = qkv_ref.shape[1]
+    dt = qkv_ref.dtype
+    gs = grid_h + grid_w
+    c = heads * head_dim
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (grid_h, s), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (grid_h, s), 0)
+    expand_rows = (col // grid_w == row).astype(dt)     # (gh, s)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, s), 1)
+    xw = jax.lax.broadcasted_iota(jnp.int32, (grid_w, s), 0)
+    expand_cols = (colw % grid_w == xw).astype(dt)      # (gw, s)
+    expand = jnp.concatenate([expand_rows, expand_cols], axis=0)
+    ones8 = jnp.ones((s, 8), dt)
+    qscale = jnp.asarray(scale * LOG2E, dt)
+
+    def per(g, _):
+        fused = qkv_ref[g]                     # (s, 3*heads*head_dim)
+        rf = r_ref[g]                          # (s, heads*(gh+gw))
+        for h in range(heads):
+            q = fused[:, h * head_dim:(h + 1) * head_dim] * qscale
+            k = fused[:, c + h * head_dim:c + (h + 1) * head_dim]
+            v = fused[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
+            rhw = rf[:, h * gs:(h + 1) * gs]           # (s, gh+gw)
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bias = jnp.dot(rhw, expand,
+                           preferred_element_type=jnp.float32)
+            p = jnp.exp2(logits + bias - EXP2_SHIFT).astype(dt)
+            denom = jax.lax.dot_general(
+                p, ones8, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0:1]
+            out = (jnp.dot(p, v, preferred_element_type=jnp.float32)
+                   / jnp.maximum(denom, 1e-30))
+            if quantize:
+                out = jnp.clip(jnp.round(out * inv_ref[0]), -127.0, 127.0)
+            o_ref[g, :, h * head_dim:(h + 1) * head_dim] = \
+                out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, per, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "num_heads", "group",
+                                             "quantize"))
+def grouped_window_attention_relpos_v3(qkv, rel_packed, inv_scale,
+                                       hw: Tuple[int, int],
+                                       num_heads: int, group: int = 2,
+                                       quantize: bool = False):
+    """qkv: (B, S, 3*H*D) fused projection output (B = #windows).
+    rel_packed as from `relpos_terms_raw` on the q THIRD of qkv.
+    `quantize` emits int8 via the static-scale epilogue (`inv_scale`:
+    scalar 1/act_scale); else bf16 (inv_scale ignored)."""
+    b, s, c3 = qkv.shape
+    gh, gw = hw
+    c = c3 // 3
+    hd = c // num_heads
+    scale = 1.0 / math.sqrt(hd)
+    while b % group != 0:
+        group //= 2
+
+    rel_packed = (rel_packed
+                  * jnp.asarray(LOG2E, rel_packed.dtype)).astype(
+                      rel_packed.dtype)
+
+    kernel = functools.partial(_grouped_kernel_v3, scale=scale, grid_h=gh,
+                               grid_w=gw, group=group, heads=num_heads,
+                               head_dim=hd, quantize=quantize)
+    in_specs = [
+        pl.BlockSpec((group, s, c3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, s, num_heads * (gh + gw)),
+                     lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [qkv, rel_packed]
+    if quantize:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(inv_scale.astype(jnp.float32).reshape(1))
+    return pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((group, s, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, s, c), jnp.int8 if quantize else qkv.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+
+
 def relpos_terms_raw(q, rel_pos_h, rel_pos_w, hw: Tuple[int, int],
                      num_heads: int):
     """Rel terms straight in the v2 kernel's packed lane layout.
@@ -564,6 +670,74 @@ def sam_window_attention_raw_q8(q, k, v, rel_pos_h, rel_pos_w,
     inv = 1.0 / jnp.maximum(act_scale.astype(jnp.float32), 1e-12)
     return grouped_window_attention_relpos_v2_q8(q, k, v, rel, inv, hw,
                                                  num_heads, group=2)
+
+
+def sam_window_attention_fused_q8(qkv, rel_pos_h, rel_pos_w,
+                                  hw: Tuple[int, int], num_heads: int,
+                                  act_scale):
+    """`sam_window_attention_raw_q8` on the UNSPLIT qkv projection
+    output (nW, S, 3C): the v3 kernel slices q/k/v by static lane
+    offsets in VMEM, so the three-way split (profiled ~176 ms of pure
+    copies per b16 SAM stage) never runs. Returns int8 (nW, S, C)."""
+    c = qkv.shape[-1] // 3
+    rel = relpos_terms_raw(qkv[..., :c], rel_pos_h, rel_pos_w, hw,
+                           num_heads)
+    inv = 1.0 / jnp.maximum(act_scale.astype(jnp.float32), 1e-12)
+    return grouped_window_attention_relpos_v3(qkv, rel, inv, hw,
+                                              num_heads, group=2,
+                                              quantize=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def sam_window_attention_fused(qkv, rel_pos_h, rel_pos_w,
+                               hw: Tuple[int, int], num_heads: int):
+    """Windowed SAM attention on the UNSPLIT qkv output, bf16 out.
+
+    Forward = the v3 kernel (no q/k/v split, no fold transposes);
+    backward splits the saved qkv and delegates to the fused flash
+    fwd+bwd kernels exactly like `sam_window_attention_raw`'s VJP,
+    concatenating the grads back."""
+    c = qkv.shape[-1] // 3
+    rel = relpos_terms_raw(qkv[..., :c], rel_pos_h, rel_pos_w, hw,
+                           num_heads)
+    return grouped_window_attention_relpos_v3(
+        qkv, rel, jnp.float32(1.0), hw, num_heads, group=2,
+        quantize=False)
+
+
+def _fused_qkv_fwd(qkv, rel_pos_h, rel_pos_w, hw, num_heads):
+    return (sam_window_attention_fused(qkv, rel_pos_h, rel_pos_w, hw,
+                                       num_heads),
+            (qkv, rel_pos_h, rel_pos_w))
+
+
+def _fused_qkv_bwd(hw, num_heads, res, g):
+    qkv, rel_pos_h, rel_pos_w = res
+    _, vjp = jax.vjp(
+        lambda qkv_, rh_, rw_: _window_raw_bwd_ref(
+            qkv_, rh_, rw_, hw, num_heads), qkv, rel_pos_h, rel_pos_w)
+    return vjp(g)
+
+
+def _window_raw_bwd_ref(qkv, rel_pos_h, rel_pos_w, hw, num_heads):
+    """Differentiable reference for the fused-qkv VJP: head-layout flash
+    attention over the split qkv (same delegation as
+    `_window_raw_bwd`)."""
+    from .sam_attention_bwd import relpos_flash_attention
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // num_heads
+
+    def head_layout(x):
+        return x.reshape(b, s, num_heads, hd)
+
+    return relpos_flash_attention(
+        head_layout(qkv[..., :c]), head_layout(qkv[..., c:2 * c]),
+        head_layout(qkv[..., 2 * c:]), rel_pos_h, rel_pos_w,
+        hw).reshape(b, s, c)
+
+
+sam_window_attention_fused.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
 def _folded_kernel_v2(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
