@@ -16,6 +16,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _backend() -> str:
+    """`jax.default_backend()`, indirected so tests can monkeypatch the
+    kernel-dispatch gates without a TPU (the Pallas kernels themselves
+    still pick interpret mode from the real backend)."""
+    return jax.default_backend()
+
+
 def quant_act(x):
     """Dynamic per-token int8 activation quantization.
 
@@ -138,7 +145,15 @@ class Int4Dense(nn.Module):
     * prefill, bf16 activations: materialized bf16 view + XLA dot under
       `jax.checkpoint` (compute-bound; the W4A16 Pallas kernel loses the
       MXU bf16 rate to Mosaic's int-acc restriction).
-    * decode / few tokens: the fused W4A16 Pallas matmul
+    * decode / few tokens + act_quant: the fused W4A8 Pallas matmul
+      (`ops.int4_matmul.int4_matmul_a8`) — per-token int8 activations,
+      int8 x int8 dots, unpack in VMEM. The int8 operand halves the
+      MXU passes of the weight-stationary dot at tiny M; measured
+      9.91 -> 8.12 ms for the b16 32-layer proj stack
+      (benchmarks/decode_probe_r4.py; the old "+0.4 ms/step" rejection
+      of decode act-quant predates the int8-native unpack and the
+      super-group K blocking).
+    * decode, bf16 activations: the fused W4A16 Pallas matmul
       (`ops.int4_matmul.int4_matmul`) — unpack + dequantize in VMEM,
       weight-read-bound (0.23 ms vs 1.36 for the XLA grouped einsum at
       the (8,4096)x(4096,11008) shape).
@@ -180,7 +195,7 @@ class Int4Dense(nn.Module):
             tokens *= d
         # Dispatch measured on-chip (benchmarks/int4_probe.py,
         # benchmarks/prefill_breakdown.py); see the class docstring.
-        on_tpu = (jax.default_backend() == "tpu"
+        on_tpu = (_backend() == "tpu"
                   and group % 128 == 0 and self.features % 128 == 0)
         if sx is not None and not (on_tpu and tokens >= 64
                                    and self.act_quant):
@@ -188,8 +203,8 @@ class Int4Dense(nn.Module):
             # (exact: int8 * its own scale) and continue generic
             x = (x.astype(jnp.float32) * sx).astype(self.dtype)
             sx = None
-        # act_quant only pays on multi-token shapes (decode rows are
-        # weight-read-bound; quantizing them measured +0.4 ms/step)
+        # act_quant: multi-token shapes ride the int8 view + XLA dot;
+        # decode rows take the fused W4A8 Pallas kernel further down
         if on_tpu and tokens >= 64 and self.act_quant:
             # int8 view + XLA dot: fold the group scales into per-channel
             # int8 and ride the same XLA path as Int8Dense W8A8 (the XLA
@@ -238,6 +253,12 @@ class Int4Dense(nn.Module):
 
             y = jax.checkpoint(viewdot)(
                 x.astype(dt).reshape(tokens, k), kernel_p, scale)
+            y = y.reshape(*lead, self.features)
+        elif on_tpu and self.act_quant:
+            from ..ops.int4_matmul import int4_matmul_a8
+            xq, sxt = quant_act(x.reshape(tokens, k))
+            y = int4_matmul_a8(xq, sxt, kernel_p, scale,
+                               out_dtype=self.dtype)
             y = y.reshape(*lead, self.features)
         elif on_tpu:
             from ..ops.int4_matmul import int4_matmul

@@ -88,6 +88,29 @@ def test_int4_matmul_a8_kernel_parity(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+def test_int4_dense_decode_w4a8_dispatch_parity(rng, monkeypatch):
+    """Int4Dense's decode branch (act_quant, tokens < 64, TPU gate) routes
+    through the fused W4A8 kernel and matches the generic dequant path
+    within per-token act-quant noise. The TPU dispatch gate is forced via
+    `layers._backend`; the kernel itself runs in interpret mode on CPU."""
+    from grove_tpu.models import layers
+    from grove_tpu.models.layers import Int4Dense
+
+    k, n = 256, 128
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    q, s = quantize_kernel_int4(w, group=128)
+    x = rng.normal(size=(2, 1, k)).astype(np.float32)   # decode rows
+    variables = {"params": {"kernel_q4p": jnp.asarray(q),
+                            "scale": jnp.asarray(s)}}
+    mod = Int4Dense(n, group=128, dtype=jnp.float32, act_quant=True)
+    want = np.asarray(mod.apply(variables, jnp.asarray(x)))  # generic path
+
+    monkeypatch.setattr(layers, "_backend", lambda: "tpu")
+    got = np.asarray(mod.apply(variables, jnp.asarray(x)))
+    rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-9)
+    assert 0 < rel < 0.02, rel   # 0 would mean the fused path never ran
+
+
 def test_int4_dense_grouped_einsum_matches_dequant(rng):
     """The decode-path grouped einsum == explicit dequant matmul."""
     from grove_tpu.models.layers import Int4Dense
