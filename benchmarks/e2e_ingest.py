@@ -1,0 +1,147 @@
+"""Ingest-INCLUSIVE end-to-end inference benchmark (VERDICT r3 #8).
+
+Every BENCH_FULL_* clips/s number sums device stages only; the reference
+metric is end-to-end — `infer_iground.py:320-435` decodes ALL clip
+frames at eval fps on the host, preprocesses them (resize to the CLIP
+and SAM grids), and only then launches the model. This benchmark runs
+the REAL driver path at flagship scale:
+
+    FullClipIGroundDataset (native libav decoder -> preprocess_frames)
+      -> run_inference (ThreadPoolExecutor prefetch of the next clip
+         group while the device computes)
+      -> infer_clips_batched (batched center-window generation +
+         grounding passes, int8 KV decode)
+
+and reports wall-clock clips/s INCLUDING host ingest, next to:
+  * the pure-host rate (decode+preprocess only, no device), and
+  * the device-only stage-sum rate (BENCH_FULL_* methodology)
+so the report shows whether host decode hides under device compute.
+
+Synthetic clips are generated at a stated resolution/length (default
+640x360, one 8-frame window at 5 fps — the same per-clip device work as
+the BENCH_FULL_* stage accounting, so the two clips/s columns are
+comparable). Weights are synthetic zeros (timing is value-independent).
+
+Run: python benchmarks/e2e_ingest.py [--clips 48] [--clip_batch 16]
+        [--width 640] [--height 360] [--output BENCH_E2E_r04.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+from _flagship import build_flagship_serving, param_stats  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--clips", default=48, type=int)
+    p.add_argument("--clip_batch", default=16, type=int)
+    p.add_argument("--frames", default=8, type=int,
+                   help="frames per clip at 5 fps (8 = one model window: "
+                        "matches the BENCH_FULL_* per-clip device work)")
+    p.add_argument("--width", default=640, type=int)
+    p.add_argument("--height", default=360, type=int)
+    p.add_argument("--max_new_tokens", default=64, type=int)
+    p.add_argument("--output", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_E2E_r04.json"))
+    args = p.parse_args()
+
+    import tempfile
+
+    from grove_tpu.api.processor import _decode_kwargs
+    from grove_tpu.data.synthetic import make_synthetic_howto_dataset
+    from grove_tpu.infer.drivers import FullClipIGroundDataset, run_inference
+    from grove_tpu.text.mock_tokenizer import MockTokenizer
+    from grove_tpu.text.tokenizer import special_token_ids_from
+
+    tok = MockTokenizer()
+
+    print(f"generating {args.clips} synthetic clips "
+          f"({args.width}x{args.height}, {args.frames} frames @5fps)...",
+          flush=True)
+    t0 = time.time()
+    root = tempfile.mkdtemp(prefix="e2e_ingest_")
+    ann_dir, video_dir, _ = make_synthetic_howto_dataset(
+        root, num_videos=args.clips, num_frames=args.frames,
+        width=args.width, height=args.height, fps=5.0)
+    gen_s = time.time() - t0
+    print(f"  generated in {gen_s:.0f}s", flush=True)
+
+    print("building flagship serving model (synthetic zeros)...",
+          flush=True)
+    t0 = time.time()
+    cfg, model, variables = build_flagship_serving(
+        tokens=special_token_ids_from(tok))
+    report = {"weights": "synthetic", "config": "full",
+              "backend": jax.default_backend(),
+              "llm_weights": "int4", "vision": "int8_w8a8_static",
+              "kv_cache": "int8", "clips": args.clips,
+              "clip_batch": args.clip_batch,
+              "clip_frames": args.frames, "clip_fps": 5.0,
+              "clip_resolution": f"{args.width}x{args.height}",
+              "max_new_tokens": args.max_new_tokens}
+    report.update(param_stats(variables))
+    print(f"  {report['params_b']}B params, "
+          f"{report['param_bytes_gb']} GB ({time.time()-t0:.0f}s)",
+          flush=True)
+
+    dataset = FullClipIGroundDataset(ann_dir, video_dir, cfg)
+    dk = _decode_kwargs("int8", True)
+
+    # pure-host rate: decode + preprocess every clip, no device work.
+    # One timed pass AFTER an untimed one (first pass pays page cache).
+    for i in range(len(dataset)):
+        dataset[i]
+    t0 = time.time()
+    for i in range(len(dataset)):
+        dataset[i]
+    host_s = time.time() - t0
+    report["host_only_s"] = round(host_s, 2)
+    report["host_only_clips_per_sec"] = round(args.clips / host_s, 2)
+    print(f"host-only ingest: {host_s:.1f}s "
+          f"({args.clips / host_s:.2f} clips/s)", flush=True)
+
+    def full_pass():
+        t0 = time.time()
+        outs = run_inference(dataset, model, variables, cfg, tok,
+                             max_new_tokens=args.max_new_tokens,
+                             clip_batch=args.clip_batch,
+                             decode_kwargs=dk, progress=False)
+        return time.time() - t0, outs
+
+    # pass 1 compiles every launched shape (persistent-cache warm);
+    # pass 2 is the steady-state ingest-inclusive measurement
+    print("pass 1 (compile + warm)...", flush=True)
+    warm_s, outs = full_pass()
+    assert len(outs) == args.clips, (len(outs), args.clips)
+    print(f"  {warm_s:.1f}s", flush=True)
+    print("pass 2 (timed)...", flush=True)
+    e2e_s, outs = full_pass()
+    assert len(outs) == args.clips, (len(outs), args.clips)
+    report["warm_pass_s"] = round(warm_s, 2)
+    report["e2e_s"] = round(e2e_s, 2)
+    report["e2e_clips_per_sec"] = round(args.clips / e2e_s, 3)
+    # how much of host ingest hid under device compute: if fully
+    # overlapped, e2e ~= device time; if serial, e2e ~= device + host
+    report["ingest_overlap_note"] = (
+        "e2e includes host decode+preprocess via the driver's prefetch "
+        "pool; compare e2e_clips_per_sec against the device-only "
+        "stage-sum clips/s in BENCH_FULL_B16_* for the overlap margin")
+    print(json.dumps(report))
+    with open(args.output, "w") as f:
+        json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

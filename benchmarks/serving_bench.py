@@ -98,33 +98,10 @@ def main():
     if args.model_size == "full":
         # flagship serving config (BENCH_FULL_*: int4 LLM, W8A8 vision);
         # zeros directly in the serving dtypes — a real fp32 init + cast
-        # peaks at double bytes through the relay and OOMs (full_scale.py)
-        from grove_tpu.models.grove import GroveModel
-        cfg = GroveConfig()
-        cfg = dataclasses.replace(
-            cfg, tokens=special_token_ids_from(tok),
-            llama=dataclasses.replace(cfg.llama, weight_quant=True,
-                                      weight_quant_bits=4, act_quant=True),
-            clip=dataclasses.replace(cfg.clip, quant_w8a8=True,
-                                     quant_static_act=True),
-            sam_enc=dataclasses.replace(cfg.sam_enc, quant_w8a8=True,
-                                        quant_static_act=True))
-        shapes = jax.eval_shape(
-            lambda r: init_grove_params(cfg, r, dtype=jnp.bfloat16,
-                                        batch=1)[1]["params"],
-            jax.random.PRNGKey(0))
-        tgt = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(
-                a.shape, jnp.bfloat16
-                if a.dtype == jnp.float32 and len(a.shape) > 1 else a.dtype),
-            shapes)
-        params = jax.jit(lambda: jax.tree.map(
-            lambda a: jnp.zeros(a.shape, a.dtype), tgt))()
-        params = jax.tree_util.tree_map_with_path(
-            lambda kp, x: (jnp.ones_like(x)
-                           if "act_scale" in str(kp[-1]) else x), params)
-        model = GroveModel(cfg, dtype=jnp.bfloat16)
-        variables = {"params": params}
+        # peaks at double bytes through the relay and OOMs (_flagship.py)
+        from _flagship import build_flagship_serving
+        cfg, model, variables = build_flagship_serving(
+            tokens=special_token_ids_from(tok))
     else:
         cfg = {"tiny": GroveConfig.tiny, "small": GroveConfig.small}[
             args.model_size]()
