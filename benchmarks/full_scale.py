@@ -19,6 +19,7 @@ Run: python benchmarks/full_scale.py [--batch 4] [--iters 3] \
 
 import argparse
 import dataclasses
+import functools
 import json
 import os
 import sys
@@ -406,25 +407,32 @@ def main():
                                         method=GroveModel.decode_step)
             nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
             return nxt, cc
-        tk, cc = jax.lax.fori_loop(0, steps, body, (tk, cc))
-        return tk
+        return jax.lax.fori_loop(0, steps, body, (tk, cc))
 
     n_dec = args.decode_iters
 
-    # slope-timed (traced step count) to cancel the relay launch overhead
-    @jax.jit
+    # slope-timed (traced step count) to cancel the relay launch
+    # overhead. The caches are DONATED and threaded call-to-call:
+    # without donation XLA prologue-copies all 64 input slabs (the DUS
+    # appends may not mutate a program input) — 6 GB of HLO temps that
+    # OOM the b32 decode chain by 43 MB. The copies cancel out of the
+    # slope timing either way; donation removes them from the footprint.
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def decode_bench(p, tk, cc, n):
         return decode_chain(p, tk, cc, n)
 
     lo, hi = 4, 4 + n_dec
-    fetch(decode_bench(params, tok0, caches, hi))
+    out, caches = decode_bench(params, tok0, caches, hi)
+    fetch(out)
     dec_runs = []
     for _ in range(args.stage_repeats):
         t0 = time.time()
-        fetch(decode_bench(params, tok0, caches, lo))
+        out, caches = decode_bench(params, tok0, caches, lo)
+        fetch(out)
         t_lo = time.time() - t0
         t0 = time.time()
-        fetch(decode_bench(params, tok0, caches, hi))
+        out, caches = decode_bench(params, tok0, caches, hi)
+        fetch(out)
         t_hi = time.time() - t0
         s = (t_hi - t_lo) / n_dec
         if s <= 0:
