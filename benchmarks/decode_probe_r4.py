@@ -120,6 +120,86 @@ def main():
 
     run("sep_a8", layer_a8, wbytes_sep)
 
+    # 3b. stream-floor control (VERDICT r4 #4 "measured proof" arm): the
+    # SAME grid/blocking/byte traffic as the W4A8 kernel, body cut to ONE
+    # int8 dot on the packed block — no nibble unpack, no second plane
+    # dot, no bias correction. Numerically meaningless output; its ONLY
+    # purpose is timing: if stack time ~= sep_a8's, the unpack VPU chain
+    # and the extra dot are fully hidden under the weight-block DMA and
+    # the kernel is at its stream floor for this access pattern.
+    import functools
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from grove_tpu.ops.int4_matmul import _pick_blocks
+
+    def _kernel_stream(x_ref, w_ref, o_ref, acc_ref, *, k_blocks, group,
+                       supers):
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        dn = (((1,), (0,)), ((), ()))
+        for t in range(supers):
+            xl = x_ref[:, t * 2 * group:t * 2 * group + group]
+            w = w_ref[t * group:(t + 1) * group, :]
+            a = jax.lax.dot_general(xl, w, dn,
+                                    preferred_element_type=jnp.int32)
+            acc_ref[...] += a.astype(jnp.float32)
+
+        @pl.when(kk == k_blocks - 1)
+        def _store():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    def stream_matmul(xq, wp, n_groups):
+        m, k = xq.shape
+        kh, n = wp.shape
+        group = k // n_groups
+        k_steps = n_groups // 2
+        bm, bn, supers = _pick_blocks(m, n, group, 1, 2, 8, 0, k_steps)
+        pad_m = (-m) % bm
+        if pad_m:
+            xq = jnp.pad(xq, ((0, pad_m), (0, 0)))
+        mp = m + pad_m
+        k_blocks = k_steps // supers
+        kern = functools.partial(_kernel_stream, k_blocks=k_blocks,
+                                 group=group, supers=supers)
+        out = pl.pallas_call(
+            kern,
+            grid=(mp // bm, n // bn, k_blocks),
+            in_specs=[
+                pl.BlockSpec((bm, supers * 2 * group),
+                             lambda i, j, kk: (i, kk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((supers * group, bn),
+                             lambda i, j, kk: (kk, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, n), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            interpret=jax.default_backend() != "tpu",
+        )(xq, wp)
+        return out[:m] if pad_m else out
+
+    stream_j = jax.jit(stream_matmul, static_argnums=(2,))
+
+    def layer_stream(x):
+        xq, _ = quant_act(x)
+        h = sum(stream_j(xq, q, s.shape[0])
+                for q, s in qkv).astype(jnp.bfloat16)
+        hq, _ = quant_act(h)
+        h = stream_j(hq, o[0], o[1].shape[0])
+        a = (stream_j(hq, gate[0], gate[1].shape[0])
+             * stream_j(hq, up[0], up[1].shape[0]))
+        aq, _ = quant_act(a)
+        return stream_j(aq, down[0], down[1].shape[0])
+
+    run("stream_floor_a8", layer_stream, wbytes_sep)
+
     # 4. fused + W4A8
     def layer_fused_a8(x):
         xq, sx = quant_act(x)
