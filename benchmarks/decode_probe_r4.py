@@ -200,6 +200,92 @@ def main():
 
     run("stream_floor_a8", layer_stream, wbytes_sep)
 
+    # 3c. stacked single-dot W4A8: unpack both nibble planes, stack them
+    # into one (2G, bn) int8 weight tile in VMEM, and contract x's full
+    # 2G-column super-group in ONE MXU dot instead of two G-dots. Same
+    # bytes, same unpack VPU work, half the per-dot fixed costs (tile
+    # feed latency dominates at bm=8). Scales can't fold per-plane into
+    # one dot, so the hi plane's 16x and the per-plane group scales are
+    # handled like _kernel_a8 but with the plane dots' outputs recovered
+    # from one dot via pre-scaling x columns is NOT possible (integer
+    # operands) — instead both planes share one group scale row pair by
+    # splitting the dot result is impossible; so this variant measures
+    # the SHAPE effect only: it uses lo' = lo+8 and hi' = 16*hi planes
+    # stacked, applies a single merged f32 scale per output block, and is
+    # numerically a different (wrong) linear map. Timing-only control,
+    # like 3b.
+    def _kernel_stacked(x_ref, w_ref, o_ref, acc_ref, *, k_blocks, group,
+                        supers):
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        dn = (((1,), (0,)), ((), ()))
+        for t in range(supers):
+            x = x_ref[:, t * 2 * group:(t + 1) * 2 * group]  # (bm, 2G)
+            p = w_ref[t * group:(t + 1) * group, :]
+            lo_b = (p & 15) ^ 8
+            hi16 = p & -16
+            w2 = jnp.concatenate([lo_b, hi16], axis=0)       # (2G, bn)
+            a = jax.lax.dot_general(x, w2, dn,
+                                    preferred_element_type=jnp.int32)
+            a -= 8 * jnp.sum(x[:, :group].astype(jnp.int32), axis=1,
+                             keepdims=True)
+            acc_ref[...] += a.astype(jnp.float32)
+
+        @pl.when(kk == k_blocks - 1)
+        def _store():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    def stacked_matmul(xq, wp, n_groups):
+        m, k = xq.shape
+        kh, n = wp.shape
+        group = k // n_groups
+        k_steps = n_groups // 2
+        bm, bn, supers = _pick_blocks(m, n, group, 1, 2, 8, 0, k_steps)
+        pad_m = (-m) % bm
+        if pad_m:
+            xq = jnp.pad(xq, ((0, pad_m), (0, 0)))
+        mp = m + pad_m
+        k_blocks = k_steps // supers
+        kern = functools.partial(_kernel_stacked, k_blocks=k_blocks,
+                                 group=group, supers=supers)
+        out = pl.pallas_call(
+            kern,
+            grid=(mp // bm, n // bn, k_blocks),
+            in_specs=[
+                pl.BlockSpec((bm, supers * 2 * group),
+                             lambda i, j, kk: (i, kk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((supers * group, bn),
+                             lambda i, j, kk: (kk, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, n), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            interpret=jax.default_backend() != "tpu",
+        )(xq, wp)
+        return out[:m] if pad_m else out
+
+    stacked_j = jax.jit(stacked_matmul, static_argnums=(2,))
+
+    def layer_stacked(x):
+        xq, _ = quant_act(x)
+        h = sum(stacked_j(xq, q, s.shape[0])
+                for q, s in qkv).astype(jnp.bfloat16)
+        hq, _ = quant_act(h)
+        h = stacked_j(hq, o[0], o[1].shape[0])
+        a = (stacked_j(hq, gate[0], gate[1].shape[0])
+             * stacked_j(hq, up[0], up[1].shape[0]))
+        aq, _ = quant_act(a)
+        return stacked_j(aq, down[0], down[1].shape[0])
+
+    run("stacked_1dot_a8", layer_stacked, wbytes_sep)
+
     # 4. fused + W4A8
     def layer_fused_a8(x):
         xq, sx = quant_act(x)

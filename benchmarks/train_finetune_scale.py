@@ -256,11 +256,15 @@ def main():
             carry, loss = step_j(carry, frozen, batch)
             fetch(loss)
         events = parse_trace_scoped(tdir)
-        stages = {"sam": r"sam_encoder|image_enc",
-                  "clip": r"clip",
-                  "llm": r"llama|lm_head|embed_tokens",
+        # bucket by the module-instance name stack (GroveModel names:
+        # vision_tower=CLIP, grounding_encoder=SAM encoder). Match order
+        # matters: grounding_encoder must hit "sam" before the ground
+        # head's patterns.
+        stages = {"sam": r"grounding_encoder|sam_encoder|image_enc|sam_",
+                  "clip": r"vision_tower|clip",
+                  "llm": r"llama|lm_head|embed_tokens|mm_projector",
                   "ground": r"mask_decoder|prompt_enc|sam_decoder|region"
-                            r"|ground",
+                            r"|text_hidden|ground",
                   "optimizer": r"adam|scale_by|apply_updates|stochastic"
                                r"|multi_steps|optimizer"}
         bwd_pat = re.compile(r"transpose\(jvp|transpose\[.*jvp|/vjp|"

@@ -62,11 +62,15 @@ class FullClipIGroundDataset:
         ts = [i / ann.fps for i in ids][:self.max_frames]
         with self.decoder_factory(ann.video_path) as dec:
             frames = dec.decode_at(ts)
-        frames_clip, frames_sam = preprocess_frames(
+        # uint8 host pipeline: geometry here, normalization in-graph
+        # (GroveModel._norm_*) — 4x less host->device traffic than f32
+        from ..data.preprocess import preprocess_frames_uint8
+        frames_clip, frames_sam, valid = preprocess_frames_uint8(
             frames, self.cfg.clip.image_size, self.cfg.sam_enc.img_size)
         return {
             "frames_clip": frames_clip,
             "frames_sam": frames_sam,
+            "sam_valid_hw": valid,
             "original_size": (ann.width, ann.height),
             "video_id": self.keys[index],
             "clip_id": 0,
@@ -221,7 +225,7 @@ def run_inference(dataset, model, variables, cfg: GroveConfig, tokenizer,
     center-window generation batches across the group (one device launch),
     then each clip's remaining windows run in one batched pass."""
     from concurrent.futures import ThreadPoolExecutor
-    from .sliding import infer_clips_batched
+    from .sliding import center_stacks, infer_clips_batched
     video_outputs: Dict[str, Dict] = {}
     my_indices = list(range(rank, len(dataset), world))
     groups = [my_indices[g:g + clip_batch]
@@ -229,18 +233,22 @@ def run_inference(dataset, model, variables, cfg: GroveConfig, tokenizer,
     pool = ThreadPoolExecutor(max_workers=4)
 
     def load_group(idxs):
-        return [dataset[i] for i in idxs]
+        samples = [dataset[i] for i in idxs]
+        # upload the center-window stacks from the prefetch thread so the
+        # host->device transfer overlaps the previous group's compute
+        return samples, center_stacks(samples, cfg.num_frames)
 
     # prefetch: decode the next group's clips while the device computes
     futures = [pool.submit(load_group, g) for g in groups[:2]]
     for gi, idxs in enumerate(groups):
         t0 = time.time()
-        samples = futures[gi].result()
+        samples, pre = futures[gi].result()
         if gi + 2 < len(groups):
             futures.append(pool.submit(load_group, groups[gi + 2]))
         outs = infer_clips_batched(model, variables, cfg, tokenizer,
                                    samples, max_new_tokens=max_new_tokens,
-                                   decode_kwargs=decode_kwargs)
+                                   decode_kwargs=decode_kwargs,
+                                   preloaded=pre)
         for sample, out in zip(samples, outs):
             uid = f"{sample['video_id']}_{sample['clip_id']}"
             video_outputs[uid] = {

@@ -205,7 +205,8 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
                       temperature: float = 0.0, top_k: int = 0,
                       top_p: float = 1.0, rng_key=None,
                       num_beams: int = 1,
-                      length_penalty: float = 1.0) -> Dict:
+                      length_penalty: float = 1.0,
+                      sam_valid_hw=None) -> Dict:
     """Single-call grounded caption generation (evaluate-mode equivalent).
 
     Host orchestration: encoders -> greedy decode -> host det-position
@@ -216,7 +217,8 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
     from .jit_utils import encode_grounding_auto
     video_embeds, _ = apply_jit(model, variables, frames_clip,
                                 method="encode_video")
-    image_embeddings = encode_grounding_auto(model, variables, frames_sam)
+    image_embeddings = encode_grounding_auto(model, variables, frames_sam,
+                                             sam_valid_hw)
     if num_beams > 1:
         from .beam import beam_decode
         gen_ids, hidden, _ = beam_decode(

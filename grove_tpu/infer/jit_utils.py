@@ -38,27 +38,35 @@ SAM_MAX_FRAMES = 128
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_grounding_chunked(model, nch: int):
+def _jitted_grounding_chunked(model, nch: int, with_valid: bool):
     method = type(model).encode_grounding
 
     @jax.jit
-    def run(variables, frames):      # (B, T, H, W, 3), B % nch == 0
+    def run(variables, frames, valid):  # (B, T, H, W, 3), B % nch == 0
         b = frames.shape[0]
         fr = frames.reshape(nch, b // nch, *frames.shape[1:])
-        out = jax.lax.map(
-            lambda ff: model.apply(variables, ff, method=method), fr)
+        if with_valid:
+            vr = valid.reshape(nch, b // nch, 2)
+            out = jax.lax.map(
+                lambda fv: model.apply(variables, fv[0], fv[1],
+                                       method=method), (fr, vr))
+        else:
+            out = jax.lax.map(
+                lambda ff: model.apply(variables, ff, method=method), fr)
         return out.reshape(out.shape[0] * out.shape[1], *out.shape[2:])
 
     return run
 
 
-def encode_grounding_auto(model, variables, frames_sam,
+def encode_grounding_auto(model, variables, frames_sam, valid_hw=None,
                           max_frames: int = SAM_MAX_FRAMES):
     """SAM grounding encode with automatic frame chunking.
 
     Splits the clip batch into the fewest chunks keeping each SAM launch
     at <= max_frames frames (the measured-safe ceiling); single-chunk
-    batches take the plain jitted path unchanged."""
+    batches take the plain jitted path unchanged. `valid_hw` (B, 2)
+    int32 marks the un-padded region of uint8 frames (see
+    `GroveModel._norm_sam`)."""
     b, t = frames_sam.shape[:2]
     nch = 1
     while ((b + nch - 1) // nch) * t > max_frames or b % nch:
@@ -67,6 +75,10 @@ def encode_grounding_auto(model, variables, frames_sam,
             nch = b
             break
     if nch <= 1:
+        if valid_hw is not None:
+            return apply_jit(model, variables, frames_sam, valid_hw,
+                             method="encode_grounding")
         return apply_jit(model, variables, frames_sam,
                          method="encode_grounding")
-    return _jitted_grounding_chunked(model, nch)(variables, frames_sam)
+    return _jitted_grounding_chunked(model, nch, valid_hw is not None)(
+        variables, frames_sam, valid_hw)

@@ -150,7 +150,7 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
                max_new_tokens: int = 64,
                threshold: Optional[float] = None,
                decode_kwargs: Optional[Dict] = None,
-               decode_backend=None) -> Dict:
+               decode_backend=None, sam_valid=None) -> Dict:
     """frames_*_all: (T_total, H, W, 3) preprocessed full-clip frames.
 
     `decode_kwargs` forwards knobs to the generation loop (e.g.
@@ -187,6 +187,9 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
                                 packed.input_ids[None],
                                 np.asarray([packed.video_start]),
                                 fc, fs, max_new_tokens=max_new_tokens,
+                                sam_valid_hw=(
+                                    jnp.asarray(np.asarray(sam_valid)[None])
+                                    if sam_valid is not None else None),
                                 **(decode_kwargs or {}))
 
     gen_ids = [int(t) for t in gen["generated_ids"][0]
@@ -210,7 +213,8 @@ def infer_clip(model: GroveModel, variables, cfg: GroveConfig, tokenizer,
                         frames_sam_all, original_size, windows, masks, ci,
                         center, text_output, parsed, phrases, num_dets,
                         threshold, instruction,
-                        all_bboxes, all_labels, all_probs)
+                        all_bboxes, all_labels, all_probs,
+                        sam_valid=sam_valid)
 
 
 def _next_pow2(n: int) -> int:
@@ -223,7 +227,8 @@ def _next_pow2(n: int) -> int:
 def _finish_clip(model, variables, cfg, tokenizer, frames_clip_all,
                  frames_sam_all, original_size, windows, masks, ci, center,
                  text_output, parsed, phrases, num_dets, threshold,
-                 instruction, all_bboxes, all_labels, all_probs):
+                 instruction, all_bboxes, all_labels, all_probs,
+                 sam_valid=None):
     seen_order = list(center)
     other = [(j, w, m) for j, (w, m) in enumerate(zip(windows, masks))
              if j != ci and any(m)]
@@ -269,6 +274,9 @@ def _finish_clip(model, variables, cfg, tokenizer, frames_clip_all,
             "phrase_mask": jnp.asarray(
                 np.tile(ap.phrase_mask[None], (nw, 1)).astype(np.float32)),
         }
+        if sam_valid is not None:
+            batch["sam_valid_hw"] = jnp.asarray(
+                np.tile(np.asarray(sam_valid)[None], (nw, 1)))
         out = apply_jit(model, variables, batch, method="forward_boxes")
         pb = np.asarray(out["pred_boxes"], np.float32)
         ob = (np.asarray(out["objectness_logits"], np.float32)
@@ -299,12 +307,40 @@ def _finish_clip(model, variables, cfg, tokenizer, frames_clip_all,
     }
 
 
+def center_stacks(samples, nf: int):
+    """Stack each clip's center-window frames onto the device.
+
+    Returns (metas, frames_clip_dev, frames_sam_dev, valid_dev) where
+    metas[i] = (windows, masks, center_index, center). Called by
+    `infer_clips_batched` inline, or by the driver's PREFETCH thread so
+    the host->device upload of the next group's frames overlaps the
+    current group's compute (the relay moves ~125 MB/s; uint8 frames
+    from `preprocess_frames_uint8` are 4x smaller than float32 and
+    normalize in-graph, `GroveModel._norm_*`)."""
+    metas, fcs, fss, vals = [], [], [], []
+    for s in samples:
+        t_total = s["frames_clip"].shape[0]
+        windows, masks = sliding_segment_with_mask(t_total, nf)
+        ci = center_window_index(masks)
+        center = windows[ci]
+        metas.append((windows, masks, ci, center))
+        fcs.append(s["frames_clip"][center])
+        fss.append(s["frames_sam"][center])
+        if "sam_valid_hw" in s:
+            vals.append(s["sam_valid_hw"])
+    fc = jnp.asarray(np.stack(fcs))
+    fs = jnp.asarray(np.stack(fss))
+    valid = jnp.asarray(np.stack(vals)) if vals else None
+    return metas, fc, fs, valid
+
+
 def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
                         tokenizer, samples, *,
                         instruction: Optional[str] = None,
                         max_new_tokens: int = 64,
                         threshold: Optional[float] = None,
-                        decode_kwargs: Optional[Dict] = None):
+                        decode_kwargs: Optional[Dict] = None,
+                        preloaded=None):
     """Batched variant of `infer_clip` over several clips.
 
     The iGround instruction prompt is FIXED (`infer_iground.py:62-85`), so
@@ -320,16 +356,8 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
                  else cfg.temp_objectness_threshold)
     nf = cfg.num_frames
     b = len(samples)
-    metas = []
-    fc_centers, fs_centers = [], []
-    for s in samples:
-        t_total = s["frames_clip"].shape[0]
-        windows, masks = sliding_segment_with_mask(t_total, nf)
-        ci = center_window_index(masks)
-        center = windows[ci]
-        metas.append((windows, masks, ci, center))
-        fc_centers.append(s["frames_clip"][center])
-        fs_centers.append(s["frames_sam"][center])
+    metas, fc_dev, fs_dev, valid_dev = (preloaded if preloaded is not None
+                                        else center_stacks(samples, nf))
 
     if isinstance(instruction, (list, tuple)):
         instructions = list(instruction)
@@ -361,10 +389,9 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
             pad_to_multiple=64)
 
     gen = generate_grounded(
-        model, variables, cfg, tokenizer, ids, vs,
-        jnp.asarray(np.stack(fc_centers)), jnp.asarray(np.stack(fs_centers)),
+        model, variables, cfg, tokenizer, ids, vs, fc_dev, fs_dev,
         max_new_tokens=max_new_tokens, pad_lens=pad_lens,
-        **(decode_kwargs or {}))
+        sam_valid_hw=valid_dev, **(decode_kwargs or {}))
 
     outputs = []
     for i, (s, (windows, masks, ci, center)) in enumerate(zip(samples,
@@ -387,5 +414,6 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
             model, variables, cfg, tokenizer, s["frames_clip"],
             s["frames_sam"], s["original_size"], windows, masks, ci, center,
             text_output, parsed, phrases, num_dets, threshold,
-            instructions[i], all_bboxes, all_labels, all_probs))
+            instructions[i], all_bboxes, all_labels, all_probs,
+            sam_valid=s.get("sam_valid_hw")))
     return outputs

@@ -110,3 +110,37 @@ def test_uint8_device_normalization_matches_host(synth_root):
                      jnp.asarray(valid[None]),
                      method=GroveModel._norm_sam)
     np.testing.assert_allclose(np.asarray(ns)[0], f_sam, atol=1e-5)
+
+
+def test_run_inference_uint8_driver_path(synth_root):
+    """The batched inference driver end-to-end on the uint8 ingest path:
+    FullClipIGroundDataset emits uint8 frames + sam_valid_hw, the
+    prefetch thread pre-uploads center stacks (`center_stacks`), and the
+    valid sizes thread through generate_grounded -> encode_grounding_auto
+    and the teacher-forced window pass. Must produce one output per clip
+    with per-frame boxes covering every decoded frame."""
+    from grove_tpu.infer.drivers import FullClipIGroundDataset, run_inference
+    from grove_tpu.text.mock_tokenizer import MockTokenizer
+    from grove_tpu.text.tokenizer import special_token_ids_from
+    import dataclasses
+
+    cfg = GroveConfig.tiny()
+    tok = MockTokenizer()
+    cfg = dataclasses.replace(cfg, tokens=special_token_ids_from(tok))
+    ann_dir, video_dir, keys = synth_root
+    ds = FullClipIGroundDataset(ann_dir, video_dir, cfg)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["frames_clip"].dtype == np.uint8
+    assert s["frames_sam"].dtype == np.uint8
+    assert s["sam_valid_hw"].shape == (2,)
+
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.float32)
+    outs = run_inference(ds, model, variables, cfg, tok,
+                         max_new_tokens=4, clip_batch=2, progress=False)
+    assert len(outs) == 3
+    for out in outs.values():
+        t = len(out["frame_indices"])
+        assert len(out["pred_bboxes"]) == t
+        assert sorted(out["frame_indices"]) == list(range(t))
