@@ -93,6 +93,12 @@ def try_full_scale() -> float | None:
         left = deadline - time.time()
         if left < 300:
             break
+        # cap the first config's timeout so a hung b24 (the relay HAS
+        # wedged on b24-adjacent shapes, NOTES_ROUND4) still leaves the
+        # b16 fallback a real budget instead of silently degrading to
+        # the small config (ADVICE r4)
+        if extra is not configs[-1]:
+            left = min(left, 0.6 * FULL_BUDGET_S)
         try:
             subprocess.run(base + extra, check=True, timeout=left,
                            stdout=sys.stderr, stderr=sys.stderr)

@@ -15,11 +15,22 @@ value-independent. Every benchmark that uses this builder must stamp
 """
 
 import dataclasses
+import os
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent XLA compile cache (same dir as _timing/conftest): the
+# flagship inference graphs (SAM/CLIP/prefill/decode at each batch) cost
+# minutes of remote compile per shape; without this every e2e/serving
+# bench run re-paid all of them cold (the 228 s r4 warm pass, and worse
+# at new batches — NOTES_ROUND5).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def flagship_serving_config(tokens=None, fused_qkv: bool = False):

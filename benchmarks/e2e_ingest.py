@@ -22,8 +22,16 @@ Synthetic clips are generated at a stated resolution/length (default
 the BENCH_FULL_* stage accounting, so the two clips/s columns are
 comparable). Weights are synthetic zeros (timing is value-independent).
 
-Run: python benchmarks/e2e_ingest.py [--clips 48] [--clip_batch 16]
-        [--width 640] [--height 360] [--output BENCH_E2E_r04.json]
+The report carries a per-group GAP TABLE (VERDICT r4 #1): `wait_s` is
+the launch thread's stall on the prefetch future (host decode + upload
+that did NOT hide under device compute), `model_s` the batched
+generate + postprocess, and the prefetch thread's own `load_s` /
+`upload_s` durations — so e2e_s - device-stage-sum is attributed, not
+guessed.
+
+Run: python benchmarks/e2e_ingest.py [--clips 48] [--clip_batch 24]
+        [--width 640] [--height 360] [--output BENCH_E2E_r05.json]
+        [--profile_dir DIR]
 """
 
 import argparse
@@ -45,7 +53,9 @@ from _flagship import build_flagship_serving, param_stats  # noqa: E402
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--clips", default=48, type=int)
-    p.add_argument("--clip_batch", default=16, type=int)
+    p.add_argument("--clip_batch", default=24, type=int)
+    p.add_argument("--profile_dir", default="",
+                   help="trace the timed pass into this dir")
     p.add_argument("--frames", default=8, type=int,
                    help="frames per clip at 5 fps (8 = one model window: "
                         "matches the BENCH_FULL_* per-clip device work)")
@@ -54,7 +64,7 @@ def main():
     p.add_argument("--max_new_tokens", default=64, type=int)
     p.add_argument("--output", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_E2E_r04.json"))
+        "BENCH_E2E_r05.json"))
     args = p.parse_args()
 
     import tempfile
@@ -112,32 +122,42 @@ def main():
     print(f"host-only ingest: {host_s:.1f}s "
           f"({args.clips / host_s:.2f} clips/s)", flush=True)
 
-    def full_pass():
+    def full_pass(timed: bool = False):
+        timing = [] if timed else None
         t0 = time.time()
         outs = run_inference(dataset, model, variables, cfg, tok,
                              max_new_tokens=args.max_new_tokens,
                              clip_batch=args.clip_batch,
-                             decode_kwargs=dk, progress=False)
-        return time.time() - t0, outs
+                             decode_kwargs=dk, progress=False,
+                             timing=timing)
+        return time.time() - t0, outs, timing
 
     # pass 1 compiles every launched shape (persistent-cache warm);
     # pass 2 is the steady-state ingest-inclusive measurement
     print("pass 1 (compile + warm)...", flush=True)
-    warm_s, outs = full_pass()
+    warm_s, outs, _ = full_pass()
     assert len(outs) == args.clips, (len(outs), args.clips)
     print(f"  {warm_s:.1f}s", flush=True)
     print("pass 2 (timed)...", flush=True)
-    e2e_s, outs = full_pass()
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            e2e_s, outs, timing = full_pass(timed=True)
+    else:
+        e2e_s, outs, timing = full_pass(timed=True)
     assert len(outs) == args.clips, (len(outs), args.clips)
     report["warm_pass_s"] = round(warm_s, 2)
     report["e2e_s"] = round(e2e_s, 2)
     report["e2e_clips_per_sec"] = round(args.clips / e2e_s, 3)
-    # how much of host ingest hid under device compute: if fully
-    # overlapped, e2e ~= device time; if serial, e2e ~= device + host
-    report["ingest_overlap_note"] = (
-        "e2e includes host decode+preprocess via the driver's prefetch "
-        "pool; compare e2e_clips_per_sec against the device-only "
-        "stage-sum clips/s in BENCH_FULL_B16_* for the overlap margin")
+    # gap table (VERDICT r4 #1): e2e_s = sum(wait_s) + sum(model_s) up
+    # to loop bookkeeping; wait_s is prefetch stall (ingest that did NOT
+    # hide), model_s is generate + window passes + host postprocess.
+    # load_s/upload_s are the prefetch thread's own phase durations
+    # (they overlap model_s of the PREVIOUS group when hiding works).
+    report["gap_table_per_group"] = [
+        {k: round(v, 3) for k, v in g.items()} for g in timing]
+    report["gap_summary_s"] = {
+        k: round(sum(g[k] for g in timing), 2)
+        for k in ("wait_s", "model_s", "load_s", "upload_s")}
     print(json.dumps(report))
     with open(args.output, "w") as f:
         json.dump(report, f, indent=1)

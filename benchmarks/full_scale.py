@@ -186,6 +186,21 @@ def main():
                         "activations don't fit alongside)")
     args = p.parse_args()
 
+    # Measured-safe ceiling for frames resident in ONE SAM jit: 192
+    # (b24) runs clean; 256 (b32 --sam_chunk 8) faults the TPU worker
+    # during compile/warm, reproducibly (NOTES_ROUND4 session 3;
+    # benchmarks/sam_fault_repro.py isolates it). Chunking via lax.map
+    # does NOT reduce residency — the whole frame batch is one jit
+    # input — so refuse BEFORE touching the device and route larger
+    # batches to --sam_split (separate launches, buffers freed between).
+    SAM_RESIDENT_FRAMES_MAX = 192
+    if args.sam_chunk > 1 and args.batch * 8 > SAM_RESIDENT_FRAMES_MAX:
+        p.error(f"--sam_chunk with batch {args.batch} keeps "
+                f"{args.batch * 8} frames resident in one SAM jit; "
+                f"> {SAM_RESIDENT_FRAMES_MAX} reproducibly faults the "
+                f"TPU worker (benchmarks/sam_fault_repro.py). "
+                f"Use --sam_split.")
+
     from grove_tpu.config import GroveConfig
     from grove_tpu.models.grove import GroveModel, init_grove_params
     from grove_tpu.models.llama import init_kv_caches

@@ -218,12 +218,20 @@ def update_and_sort_video_outputs(gathered: List[Dict]) -> Dict:
 def run_inference(dataset, model, variables, cfg: GroveConfig, tokenizer,
                   *, max_new_tokens: int = 64, rank: int = 0, world: int = 1,
                   progress: bool = True, clip_batch: int = 4,
-                  decode_kwargs: Optional[Dict] = None) -> Dict:
+                  decode_kwargs: Optional[Dict] = None,
+                  timing: Optional[List] = None) -> Dict:
     """Per-rank sliding-window inference over the dataset shard.
 
     Clips are processed in groups of `clip_batch`: the fixed-prompt
     center-window generation batches across the group (one device launch),
-    then each clip's remaining windows run in one batched pass."""
+    then each clip's remaining windows run in one batched pass.
+
+    `timing`, if given, collects one dict per group: `wait_s` (stall on
+    the prefetch future — host decode + upload NOT hidden under device
+    compute), `model_s` (batched generate + window passes + host
+    postprocess), and the prefetch thread's own `load_s` (decode +
+    preprocess) / `upload_s` (center-stack device_put) for the group —
+    the e2e gap attribution of `benchmarks/e2e_ingest.py`."""
     from concurrent.futures import ThreadPoolExecutor
     from .sliding import center_stacks, infer_clips_batched
     video_outputs: Dict[str, Dict] = {}
@@ -233,22 +241,31 @@ def run_inference(dataset, model, variables, cfg: GroveConfig, tokenizer,
     pool = ThreadPoolExecutor(max_workers=4)
 
     def load_group(idxs):
+        t0 = time.time()
         samples = [dataset[i] for i in idxs]
+        t1 = time.time()
         # upload the center-window stacks from the prefetch thread so the
         # host->device transfer overlaps the previous group's compute
-        return samples, center_stacks(samples, cfg.num_frames)
+        pre = center_stacks(samples, cfg.num_frames)
+        jax.block_until_ready((pre[1], pre[2]))
+        return samples, pre, t1 - t0, time.time() - t1
 
     # prefetch: decode the next group's clips while the device computes
     futures = [pool.submit(load_group, g) for g in groups[:2]]
     for gi, idxs in enumerate(groups):
         t0 = time.time()
-        samples, pre = futures[gi].result()
+        samples, pre, load_s, upload_s = futures[gi].result()
+        t_wait = time.time() - t0
         if gi + 2 < len(groups):
             futures.append(pool.submit(load_group, groups[gi + 2]))
         outs = infer_clips_batched(model, variables, cfg, tokenizer,
                                    samples, max_new_tokens=max_new_tokens,
                                    decode_kwargs=decode_kwargs,
                                    preloaded=pre)
+        if timing is not None:
+            timing.append({"wait_s": t_wait, "load_s": load_s,
+                           "upload_s": upload_s,
+                           "model_s": time.time() - t0 - t_wait})
         for sample, out in zip(samples, outs):
             uid = f"{sample['video_id']}_{sample['clip_id']}"
             video_outputs[uid] = {

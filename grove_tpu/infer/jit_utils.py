@@ -33,8 +33,13 @@ def apply_jit(model, variables, *args, method: str):
 # (batch 16 x 8) runs clean; 256 frames (batch 32) faulted the TPU worker
 # inside SAM encode (kernel fault, NOTES_ROUND2). Oversize requests are
 # scanned in chunks inside ONE jit, so any batch degrades to more
-# sequential launches instead of crashing the worker.
-SAM_MAX_FRAMES = 128
+# sequential launches instead of crashing the worker. Overridable for
+# memory-tight integrated runs (smaller chunks shrink the SAM stage's
+# transient activations — the b24 e2e driver path OOMs with 96-frame
+# chunks next to the 4.4 GB decode KV allocation, NOTES_ROUND5).
+import os as _os
+
+SAM_MAX_FRAMES = int(_os.environ.get("GROVE_SAM_MAX_FRAMES", "128"))
 
 
 @functools.lru_cache(maxsize=32)

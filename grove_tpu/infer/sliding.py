@@ -328,6 +328,11 @@ def center_stacks(samples, nf: int):
         fss.append(s["frames_sam"][center])
         if "sam_valid_hw" in s:
             vals.append(s["sam_valid_hw"])
+    # all-or-none: a mixed batch would stack k != b valid rows and either
+    # raise inside the jitted _norm_sam or silently broadcast one clip's
+    # valid region onto every clip (ADVICE r4)
+    assert not vals or len(vals) == len(samples), \
+        (len(vals), len(samples), "samples mix sam_valid_hw presence")
     fc = jnp.asarray(np.stack(fcs))
     fs = jnp.asarray(np.stack(fss))
     valid = jnp.asarray(np.stack(vals)) if vals else None
