@@ -54,6 +54,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--clips", default=48, type=int)
     p.add_argument("--clip_batch", default=24, type=int)
+    p.add_argument("--preprocess", default="yuv",
+                   choices=["yuv", "rgb", "host"],
+                   help="where frame geometry runs and what crosses the "
+                        "relay (~27 MB/s, H2D_PROBE.json): 'yuv' ships "
+                        "the stream's native 4:2:0 planes (2.8 MB/clip), "
+                        "'rgb' one raw RGB copy (5.5), 'host' the two "
+                        "host-resized uint8 copies (9.0)")
     p.add_argument("--profile_dir", default="",
                    help="trace the timed pass into this dir")
     p.add_argument("--frames", default=8, type=int,
@@ -66,6 +73,11 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_E2E_r05.json"))
     args = p.parse_args()
+
+    # integrated headroom: the full driver path holds decode KV (2.84 GB
+    # at b16) next to the 5.77 GB weights; 128-frame SAM launches OOM
+    # against that, 64-frame chunks fit (NOTES_ROUND5 bisection)
+    os.environ.setdefault("GROVE_SAM_MAX_FRAMES", "64")
 
     import tempfile
 
@@ -100,13 +112,19 @@ def main():
               "clip_batch": args.clip_batch,
               "clip_frames": args.frames, "clip_fps": 5.0,
               "clip_resolution": f"{args.width}x{args.height}",
+              "preprocess": {"yuv": "device(native YUV420 upload)",
+                             "rgb": "device(raw RGB uint8 upload)",
+                             "host": "host_uint8"}[args.preprocess],
               "max_new_tokens": args.max_new_tokens}
     report.update(param_stats(variables))
     print(f"  {report['params_b']}B params, "
           f"{report['param_bytes_gb']} GB ({time.time()-t0:.0f}s)",
           flush=True)
 
-    dataset = FullClipIGroundDataset(ann_dir, video_dir, cfg)
+    dataset = FullClipIGroundDataset(
+        ann_dir, video_dir, cfg,
+        device_preprocess={"yuv": "yuv", "rgb": True,
+                           "host": False}[args.preprocess])
     dk = _decode_kwargs("int8", True)
 
     # pure-host rate: decode + preprocess every clip, no device work.
@@ -128,7 +146,7 @@ def main():
         outs = run_inference(dataset, model, variables, cfg, tok,
                              max_new_tokens=args.max_new_tokens,
                              clip_batch=args.clip_batch,
-                             decode_kwargs=dk, progress=False,
+                             decode_kwargs=dk, progress=True,
                              timing=timing)
         return time.time() - t0, outs, timing
 

@@ -47,24 +47,29 @@ def main():
             return (x @ x) * (1.0 / k)
         return jax.lax.fori_loop(0, iters, body, x)
 
+    import numpy as _np
+
+    def fetch(a):                    # block_until_ready under-reports
+        return float(_np.asarray(a[0, 0]))   # through the relay (SKILL)
+
     x0 = jnp.ones((k, k), jnp.bfloat16)
-    burn(x0, 10).block_until_ready()          # compile
+    fetch(burn(x0, 10))                       # compile
     t0 = time.time()
-    burn(x0, 50).block_until_ready()
-    per50 = time.time() - t0
-    iters = max(10, int(50 * 2.0 / per50))
+    fetch(burn(x0, 200))
+    per = time.time() - t0
+    iters = max(10, int(200 * 2.0 / per))
     t0 = time.time()
-    burn(x0, iters).block_until_ready()
+    fetch(burn(x0, iters))
     compute_s = time.time() - t0
     report["compute_alone_s"] = round(compute_s, 3)
 
-    # 1. idle H2D (3 reps, min)
-    _ = jax.device_put(host).block_until_ready()   # warm path
+    # 1. idle H2D (3 reps, best; completion forced by a 1-byte fetch)
+    d = jax.device_put(host); _ = int(_np.asarray(d[:1])[0]); del d
     rates = []
     for _ in range(3):
         t0 = time.time()
         d = jax.device_put(host)
-        d.block_until_ready()
+        _ = int(_np.asarray(d[:1])[0])
         rates.append(args.mb / (time.time() - t0))
         del d
     report["h2d_idle_mbs"] = round(max(rates), 1)
@@ -74,9 +79,9 @@ def main():
     out = burn(x0, iters)                     # async dispatch
     t1 = time.time()
     d = jax.device_put(host)
-    d.block_until_ready()
+    _ = int(_np.asarray(d[:1])[0])
     put_s = time.time() - t1
-    out.block_until_ready()
+    fetch(out)
     total_s = time.time() - t0
     report["h2d_during_compute_s"] = round(put_s, 3)
     report["total_s"] = round(total_s, 3)

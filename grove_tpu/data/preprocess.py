@@ -90,6 +90,56 @@ def sam_resize_uint8(frame: np.ndarray, size: int = 512) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# YUV420 shipping: video streams are natively 4:2:0, so shipping the raw
+# planes (1.5 B/px) instead of converted RGB24 (3 B/px) halves the
+# host->device bytes that bound e2e inference (benchmarks/h2d_probe.py:
+# the relay moves ~27 MB/s). BT.601 LIMITED ("MPEG") range — what
+# swscale uses for SD streams — so the device-side inverse reproduces
+# the RGB the decoder's own conversion would have emitted to within
+# rounding. Packed layout (3H/2, W): Y rows [0, H); U and V (H/2, W/2)
+# side by side in rows [H, 3H/2) — `native/video_decoder.cc:vd_decode_at_yuv`.
+# ---------------------------------------------------------------------------
+
+YUV_OFFSET = np.array([16.0, 128.0, 128.0], np.float32)
+RGB_TO_YUV = np.array([[65.738, 129.057, 25.064],
+                       [-37.945, -74.494, 112.439],
+                       [112.439, -94.154, -18.285]], np.float32) / 256.0
+YUV_TO_RGB = np.array([[298.082, 0.0, 408.583],
+                       [298.082, -100.291, -208.120],
+                       [298.082, 516.412, 0.0]], np.float32) / 256.0
+
+
+def rgb_to_yuv420(frames: np.ndarray) -> np.ndarray:
+    """(T, H, W, 3) uint8 RGB -> packed (T, 3H/2, W) uint8 YUV420P."""
+    t, h, w, _ = frames.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    yuv = frames.astype(np.float32) @ RGB_TO_YUV.T + YUV_OFFSET
+    yuv = np.clip(np.round(yuv), 0, 255).astype(np.float32)
+    y = yuv[..., 0]
+    # 2x2 mean chroma subsample
+    u = yuv[..., 1].reshape(t, h // 2, 2, w // 2, 2).mean((2, 4))
+    v = yuv[..., 2].reshape(t, h // 2, 2, w // 2, 2).mean((2, 4))
+    out = np.empty((t, 3 * h // 2, w), np.uint8)
+    out[:, :h] = np.clip(np.round(y), 0, 255).astype(np.uint8)
+    out[:, h:, :w // 2] = np.clip(np.round(u), 0, 255).astype(np.uint8)
+    out[:, h:, w // 2:] = np.clip(np.round(v), 0, 255).astype(np.uint8)
+    return out
+
+
+def yuv420_to_rgb(packed: np.ndarray) -> np.ndarray:
+    """Packed (T, 3H/2, W) uint8 -> (T, H, W, 3) uint8 RGB (host mirror
+    of the in-graph inverse; nearest-neighbor chroma upsample)."""
+    t, h32, w = packed.shape
+    h = h32 * 2 // 3
+    y = packed[:, :h].astype(np.float32)
+    u = packed[:, h:, :w // 2].astype(np.float32).repeat(2, 1).repeat(2, 2)
+    v = packed[:, h:, w // 2:].astype(np.float32).repeat(2, 1).repeat(2, 2)
+    yuv = np.stack([y, u, v], axis=-1) - YUV_OFFSET
+    rgb = yuv @ YUV_TO_RGB.T
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def preprocess_frames_uint8(frames: np.ndarray, clip_size: int = 336,
                             sam_size: int = 512):
     """(T, H, W, 3) uint8 -> uint8 (clip, sam) frames + sam valid (h, w).

@@ -68,6 +68,9 @@ def _load_lib():
         ctypes.c_void_p, ctypes.c_double, ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.vd_decode_fps.restype = ctypes.c_int
+    if hasattr(lib, "vd_decode_at_yuv"):
+        lib.vd_decode_at_yuv.argtypes = lib.vd_decode_at.argtypes
+        lib.vd_decode_at_yuv.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -105,6 +108,31 @@ class VideoDecoder:
             # EOF before the tail timestamps: repeat the last good frame
             # (reference pads short videos similarly, VidSTG.py:88-117)
             if n == 0:
+                raise IOError("decoded zero frames")
+            out[n:] = out[n - 1]
+        return out
+
+    def decode_at_yuv(self, timestamps: Sequence[float],
+                      out_size: Optional[Tuple[int, int]] = None
+                      ) -> np.ndarray:
+        """Frames at the given timestamps as PACKED YUV420P:
+        (N, 3H/2, W) uint8 — Y rows [0, H); U and V (H/2, W/2) side by
+        side in rows [H, 3H/2). Skips the RGB conversion entirely (the
+        stream is already 4:2:0) and ships HALF the bytes of RGB24 —
+        host->device bandwidth is the e2e inference bottleneck
+        (benchmarks/h2d_probe.py); the model converts + resizes
+        in-graph (`GroveModel._norm_*` raw-YUV path, BT.601 limited
+        range to mirror swscale's SD default)."""
+        ts = np.asarray(sorted(timestamps), np.float64)
+        w, h = out_size if out_size else (self.width, self.height)
+        assert w % 2 == 0 and h % 2 == 0, (w, h)
+        out = np.zeros((len(ts), 3 * h // 2, w), np.uint8)
+        n = self._lib.vd_decode_at_yuv(
+            self._h, ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(ts), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            w, h, 4.0)
+        if n < len(ts):
+            if n <= 0:
                 raise IOError("decoded zero frames")
             out[n:] = out[n - 1]
         return out
@@ -156,6 +184,10 @@ class SyntheticVideo:
         idx = np.clip((np.asarray(timestamps) * self.fps).astype(int), 0,
                       len(self._frames) - 1)
         return self._frames[idx]
+
+    def decode_at_yuv(self, timestamps, out_size=None):
+        from .preprocess import rgb_to_yuv420
+        return rgb_to_yuv420(self.decode_at(timestamps, out_size))
 
     def decode_fps(self, fps=5.0, out_size=None, max_frames=2048):
         step = max(int(round(self.fps / fps)), 1)

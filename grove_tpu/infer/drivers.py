@@ -35,7 +35,8 @@ class FullClipIGroundDataset:
 
     def __init__(self, ann_dir: str, video_dir: str, cfg: GroveConfig,
                  fps: float = 5.0, keys: Optional[List[str]] = None,
-                 decoder_factory=VideoDecoder, max_frames: int = 512):
+                 decoder_factory=VideoDecoder, max_frames: int = 512,
+                 device_preprocess: bool = False):
         from ..data.datasets.howto100m import parse_howto_annotation
         self._parse = parse_howto_annotation
         self.ann_dir = ann_dir
@@ -44,6 +45,14 @@ class FullClipIGroundDataset:
         self.fps = fps
         self.decoder_factory = decoder_factory
         self.max_frames = max_frames
+        # device_preprocess: skip the host resizes and ship ONE raw copy
+        # per clip; the model resizes/crops/pads in-graph
+        # (GroveModel._norm_*). The relay moves ~27 MB/s host->device
+        # (benchmarks/h2d_probe.py), so upload bytes bound e2e clips/s:
+        # "yuv" ships the stream's native 4:2:0 planes (2.8 MB/clip at
+        # 640x360), True ships raw RGB (5.5), False pre-resizes on host
+        # (9.0 as two uint8 copies; float32 would be 36).
+        self.device_preprocess = device_preprocess
         if keys is None:
             keys = sorted(os.path.splitext(f)[0]
                           for f in os.listdir(ann_dir) if f.endswith(".pkl"))
@@ -60,22 +69,31 @@ class FullClipIGroundDataset:
         rate = max(int(ann.fps / self.fps), 1)
         ids = list(range(ann.clip_start_frame, ann.clip_end_frame + 1, rate))
         ts = [i / ann.fps for i in ids][:self.max_frames]
-        with self.decoder_factory(ann.video_path) as dec:
-            frames = dec.decode_at(ts)
-        # uint8 host pipeline: geometry here, normalization in-graph
-        # (GroveModel._norm_*) — 4x less host->device traffic than f32
-        from ..data.preprocess import preprocess_frames_uint8
-        frames_clip, frames_sam, valid = preprocess_frames_uint8(
-            frames, self.cfg.clip.image_size, self.cfg.sam_enc.img_size)
-        return {
-            "frames_clip": frames_clip,
-            "frames_sam": frames_sam,
-            "sam_valid_hw": valid,
+        out = {
             "original_size": (ann.width, ann.height),
             "video_id": self.keys[index],
             "clip_id": 0,
             "ann": ann,
         }
+        with self.decoder_factory(ann.video_path) as dec:
+            if self.device_preprocess == "yuv":
+                frames = dec.decode_at_yuv(ts)
+            else:
+                frames = dec.decode_at(ts)
+        if self.device_preprocess:
+            # one raw array under BOTH keys (same object): windowing code
+            # indexes either; center_stacks uploads it once
+            out["frames_clip"] = out["frames_sam"] = frames
+            return out
+        # uint8 host pipeline: geometry here, normalization in-graph
+        # (GroveModel._norm_*) — 4x less host->device traffic than f32
+        from ..data.preprocess import preprocess_frames_uint8
+        frames_clip, frames_sam, valid = preprocess_frames_uint8(
+            frames, self.cfg.clip.image_size, self.cfg.sam_enc.img_size)
+        out["frames_clip"] = frames_clip
+        out["frames_sam"] = frames_sam
+        out["sam_valid_hw"] = valid
+        return out
 
 
 class FullClipVidSTGDataset:
@@ -246,8 +264,7 @@ def run_inference(dataset, model, variables, cfg: GroveConfig, tokenizer,
         t1 = time.time()
         # upload the center-window stacks from the prefetch thread so the
         # host->device transfer overlaps the previous group's compute
-        pre = center_stacks(samples, cfg.num_frames)
-        jax.block_until_ready((pre[1], pre[2]))
+        pre = center_stacks(samples, cfg.num_frames)  # completion forced
         return samples, pre, t1 - t0, time.time() - t1
 
     # prefetch: decode the next group's clips while the device computes

@@ -307,6 +307,15 @@ def _finish_clip(model, variables, cfg, tokenizer, frames_clip_all,
     }
 
 
+import threading
+
+# The relay moves ~27 MB/s host->device and CONCURRENT device_puts from
+# separate threads collapse to ~4 MB/s each (benchmarks/h2d_probe.py,
+# NOTES_ROUND5) — serialize every frame upload through one lock so
+# prefetch threads queue instead of thrashing.
+_upload_lock = threading.Lock()
+
+
 def center_stacks(samples, nf: int):
     """Stack each clip's center-window frames onto the device.
 
@@ -314,10 +323,13 @@ def center_stacks(samples, nf: int):
     metas[i] = (windows, masks, center_index, center). Called by
     `infer_clips_batched` inline, or by the driver's PREFETCH thread so
     the host->device upload of the next group's frames overlaps the
-    current group's compute (the relay moves ~125 MB/s; uint8 frames
-    from `preprocess_frames_uint8` are 4x smaller than float32 and
-    normalize in-graph, `GroveModel._norm_*`)."""
+    current group's compute. When a sample's frames_clip IS its
+    frames_sam (the raw device-preprocess mode,
+    `FullClipIGroundDataset(device_preprocess=True)`), the stack is
+    uploaded ONCE and returned for both towers — upload bytes bound e2e
+    clips/s at the relay's ~27 MB/s."""
     metas, fcs, fss, vals = [], [], [], []
+    raw = all(s["frames_clip"] is s["frames_sam"] for s in samples)
     for s in samples:
         t_total = s["frames_clip"].shape[0]
         windows, masks = sliding_segment_with_mask(t_total, nf)
@@ -325,7 +337,8 @@ def center_stacks(samples, nf: int):
         center = windows[ci]
         metas.append((windows, masks, ci, center))
         fcs.append(s["frames_clip"][center])
-        fss.append(s["frames_sam"][center])
+        if not raw:
+            fss.append(s["frames_sam"][center])
         if "sam_valid_hw" in s:
             vals.append(s["sam_valid_hw"])
     # all-or-none: a mixed batch would stack k != b valid rows and either
@@ -333,9 +346,16 @@ def center_stacks(samples, nf: int):
     # valid region onto every clip (ADVICE r4)
     assert not vals or len(vals) == len(samples), \
         (len(vals), len(samples), "samples mix sam_valid_hw presence")
-    fc = jnp.asarray(np.stack(fcs))
-    fs = jnp.asarray(np.stack(fss))
-    valid = jnp.asarray(np.stack(vals)) if vals else None
+    with _upload_lock:
+        fc = jnp.asarray(np.stack(fcs))
+        fs = fc if raw else jnp.asarray(np.stack(fss))
+        valid = jnp.asarray(np.stack(vals)) if vals else None
+        # force the wire transfers INSIDE the lock (block_until_ready
+        # returns before the relay transfer completes — verify SKILL);
+        # a scalar fetch can't resolve until the buffer is defined
+        _ = np.asarray(fc[(0,) * fc.ndim])
+        if fs is not fc:
+            _ = np.asarray(fs[(0,) * fs.ndim])
     return metas, fc, fs, valid
 
 

@@ -93,22 +93,84 @@ class GroveModel(nn.Module):
     # encoders
     # ------------------------------------------------------------------
 
+    def _yuv420_to_rgb(self, packed):
+        """Packed (B, T, 3H/2, W) uint8 YUV420P -> (B, T, H, W, 3) f32
+        RGB in [0, 255]. BT.601 limited range (swscale's SD default);
+        nearest-neighbor chroma upsample. The decoder ships the native
+        4:2:0 planes (1.5 B/px vs RGB24's 3) because host->device bytes
+        bound e2e inference (`native/video_decoder.cc:vd_decode_at_yuv`,
+        benchmarks/h2d_probe.py)."""
+        from ..data.preprocess import YUV_OFFSET, YUV_TO_RGB
+        b, t, h32, w = packed.shape
+        h = h32 * 2 // 3
+        y = packed[:, :, :h].astype(jnp.float32)
+        u = packed[:, :, h:, :w // 2].astype(jnp.float32)
+        v = packed[:, :, h:, w // 2:].astype(jnp.float32)
+        u = jnp.repeat(jnp.repeat(u, 2, axis=2), 2, axis=3)
+        v = jnp.repeat(jnp.repeat(v, 2, axis=2), 2, axis=3)
+        yuv = jnp.stack([y, u, v], axis=-1) - jnp.asarray(YUV_OFFSET)
+        rgb = yuv @ jnp.asarray(YUV_TO_RGB).T
+        return jnp.clip(jnp.round(rgb), 0.0, 255.0)
+
     def _norm_clip(self, frames):
         """Device-side CLIP normalization for uint8 inputs (host->device
-        bandwidth is the pipeline bottleneck; uint8 is 4x smaller)."""
+        bandwidth is the pipeline bottleneck; uint8 is 4x smaller).
+
+        RAW frames (spatial dims != the CLIP grid) additionally run the
+        shortest-edge resize + center crop ON DEVICE (the reference does
+        this on host via HF CLIPImageProcessor, `HowTo100M.py:309-313`;
+        `data/preprocess.clip_preprocess` is the host mirror) — shipping
+        one raw uint8 copy per clip is the only layout that survives the
+        ~27 MB/s relay H2D (benchmarks/h2d_probe.py). A 4-D uint8 input
+        is packed YUV420P (see `_yuv420_to_rgb`), halving bytes again."""
         if frames.dtype != jnp.uint8:
             return frames
         from ..data.preprocess import CLIP_MEAN, CLIP_STD
+        size = self.cfg.clip.image_size
+        if frames.ndim == 4:
+            frames = self._yuv420_to_rgb(frames).astype(jnp.uint8)
+        b, t, h, w, _ = frames.shape
+        if (h, w) != (size, size):
+            scale = size / min(h, w)
+            nh, nw = round(h * scale), round(w * scale)
+            xf = jax.image.resize(frames.astype(jnp.float32),
+                                  (b, t, nh, nw, 3), method="bicubic")
+            top, left = (nh - size) // 2, (nw - size) // 2
+            xf = xf[:, :, top:top + size, left:left + size, :]
+            # PIL materializes uint8 between resize and rescale: round +
+            # clamp (bicubic overshoots) to mirror that quantization
+            xf = jnp.round(jnp.clip(xf, 0.0, 255.0))
+            frames = xf.astype(self.dtype)
         xf = frames.astype(self.dtype) / 255.0
         return ((xf - jnp.asarray(CLIP_MEAN, self.dtype))
                 / jnp.asarray(CLIP_STD, self.dtype))
 
     def _norm_sam(self, frames, valid_hw=None):
         """Device-side SAM normalization; pad region re-zeroed to match the
-        reference's normalize-then-pad order (`HowTo100M.py:168-178`)."""
+        reference's normalize-then-pad order (`HowTo100M.py:168-178`).
+
+        RAW frames also run ResizeLongestSide + bottom/right zero-pad on
+        device (`data/preprocess.sam_preprocess` is the host mirror); the
+        valid region is static (derived from the input shape), so
+        `valid_hw` is not needed in that mode. A 4-D uint8 input is
+        packed YUV420P (see `_yuv420_to_rgb`)."""
         if frames.dtype != jnp.uint8:
             return frames
         from ..data.preprocess import SAM_MEAN, SAM_STD
+        size = self.cfg.sam_enc.img_size
+        if frames.ndim == 4:
+            frames = self._yuv420_to_rgb(frames).astype(jnp.uint8)
+        b, t, h, w, _ = frames.shape
+        if (h, w) != (size, size):
+            scale = size / max(h, w)
+            nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+            xf = jax.image.resize(frames.astype(jnp.float32),
+                                  (b, t, nh, nw, 3), method="bilinear")
+            xf = jnp.round(jnp.clip(xf, 0.0, 255.0))
+            xf = ((xf - jnp.asarray(SAM_MEAN, jnp.float32))
+                  / jnp.asarray(SAM_STD, jnp.float32)).astype(self.dtype)
+            return jnp.pad(xf, ((0, 0), (0, 0), (0, size - nh),
+                                (0, size - nw), (0, 0)))
         xf = ((frames.astype(self.dtype) - jnp.asarray(SAM_MEAN, self.dtype))
               / jnp.asarray(SAM_STD, self.dtype))
         if valid_hw is not None:

@@ -32,6 +32,8 @@ struct VDContext {
   AVCodecContext* codec = nullptr;
   SwsContext* sws = nullptr;
   int sws_w = 0, sws_h = 0;
+  SwsContext* sws_yuv = nullptr;
+  int sws_yuv_w = 0, sws_yuv_h = 0;
   int stream_index = -1;
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
@@ -108,6 +110,60 @@ void scale_into(VDContext* c, uint8_t* out, int out_w, int out_h) {
             dst, dst_linesize);
 }
 
+// YUV420P variant: skips the RGB conversion entirely (the stream is
+// already 4:2:0 for every codec this pipeline sees, so this is a
+// plane copy/scale) and writes a PACKED (3*out_h/2, out_w) uint8 frame:
+// Y rows [0, h); U and V (h/2, w/2) side by side in rows [h, 3h/2) —
+// U in columns [0, w/2), V in [w/2, w). Host->device bytes drop to
+// 1.5 B/px vs RGB24's 3; the model converts + resizes in-graph
+// (grove_tpu.models.grove.GroveModel._yuv420_to_rgb).
+void scale_into_yuv(VDContext* c, uint8_t* out, int out_w, int out_h) {
+  if (out_w <= 0) out_w = c->codec->width;
+  if (out_h <= 0) out_h = c->codec->height;
+  if (!c->sws_yuv || c->sws_yuv_w != out_w || c->sws_yuv_h != out_h) {
+    if (c->sws_yuv) sws_freeContext(c->sws_yuv);
+    c->sws_yuv = sws_getContext(c->codec->width, c->codec->height,
+                                c->codec->pix_fmt, out_w, out_h,
+                                AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                                nullptr, nullptr);
+    c->sws_yuv_w = out_w;
+    c->sws_yuv_h = out_h;
+  }
+  uint8_t* dst[4] = {out, out + (size_t)out_h * out_w,
+                     out + (size_t)out_h * out_w + out_w / 2, nullptr};
+  int dst_linesize[4] = {out_w, out_w, out_w, 0};
+  sws_scale(c->sws_yuv, c->frame->data, c->frame->linesize, 0,
+            c->codec->height, dst, dst_linesize);
+}
+
+// Shared timestamp sweep for vd_decode_at{,_yuv}: seek/advance logic is
+// identical, only the per-frame emit differs.
+template <typename Emit>
+int decode_at_sweep(VDContext* c, const double* timestamps, int n,
+                    double seek_gap, Emit emit) {
+  if (seek_gap <= 0) seek_gap = 4.0;
+  int written = 0;
+  bool have_frame = false;
+  for (int i = 0; i < n; i++) {
+    double want = timestamps[i];
+    if (!have_frame || c->last_decoded_ts > want + 0.5 ||
+        want - c->last_decoded_ts > seek_gap) {
+      if (seek_to(c, std::max(0.0, want)) < 0) break;
+      have_frame = false;
+    }
+    while (!have_frame || c->last_decoded_ts < want - 1e-6) {
+      int ret = decode_next(c);
+      if (ret <= 0) break;
+      have_frame = true;
+      if (c->last_decoded_ts >= want - 1e-6) break;
+    }
+    if (!have_frame) break;
+    emit(written);
+    written++;
+  }
+  return written;
+}
+
 }  // namespace
 
 extern "C" {
@@ -150,6 +206,7 @@ void vd_close(void* handle) {
   auto* c = static_cast<VDContext*>(handle);
   if (!c) return;
   if (c->sws) sws_freeContext(c->sws);
+  if (c->sws_yuv) sws_freeContext(c->sws_yuv);
   if (c->frame) av_frame_free(&c->frame);
   if (c->pkt) av_packet_free(&c->pkt);
   if (c->codec) avcodec_free_context(&c->codec);
@@ -182,33 +239,25 @@ int vd_info(void* handle, double* duration, double* fps, int* width,
 int vd_decode_at(void* handle, const double* timestamps, int n, uint8_t* out,
                  int out_w, int out_h, double seek_gap) {
   auto* c = static_cast<VDContext*>(handle);
-  if (seek_gap <= 0) seek_gap = 4.0;
   const size_t frame_bytes = (size_t)out_w * out_h * 3;
-  int written = 0;
-  bool have_frame = false;
+  return decode_at_sweep(c, timestamps, n, seek_gap, [&](int k) {
+    scale_into(c, out + (size_t)k * frame_bytes, out_w, out_h);
+  });
+}
 
-  for (int i = 0; i < n; i++) {
-    double want = timestamps[i];
-    // need a (re)seek?
-    if (!have_frame || c->last_decoded_ts > want + 0.5 ||
-        want - c->last_decoded_ts > seek_gap) {
-      if (seek_to(c, std::max(0.0, want)) < 0) break;
-      have_frame = false;
-    }
-    // advance until current frame covers `want`
-    while (!have_frame || c->last_decoded_ts < want - 1e-6) {
-      int ret = decode_next(c);
-      if (ret <= 0) {  // EOF: reuse last good frame if any
-        break;
-      }
-      have_frame = true;
-      if (c->last_decoded_ts >= want - 1e-6) break;
-    }
-    if (!have_frame) break;
-    scale_into(c, out + (size_t)written * frame_bytes, out_w, out_h);
-    written++;
-  }
-  return written;
+// As vd_decode_at, but emits packed YUV420P frames of
+// (3*out_h/2, out_w) uint8 (see scale_into_yuv). out_w and out_h must
+// be even. Returns number of frames written, or -1 on odd dims.
+int vd_decode_at_yuv(void* handle, const double* timestamps, int n,
+                     uint8_t* out, int out_w, int out_h, double seek_gap) {
+  auto* c = static_cast<VDContext*>(handle);
+  if (out_w <= 0) out_w = c->codec->width;
+  if (out_h <= 0) out_h = c->codec->height;
+  if ((out_w | out_h) & 1) return -1;
+  const size_t frame_bytes = (size_t)out_w * out_h * 3 / 2;
+  return decode_at_sweep(c, timestamps, n, seek_gap, [&](int k) {
+    scale_into_yuv(c, out + (size_t)k * frame_bytes, out_w, out_h);
+  });
 }
 
 // Decode the whole stream resampled at `fps` (like the reference's

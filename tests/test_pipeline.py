@@ -144,3 +144,116 @@ def test_run_inference_uint8_driver_path(synth_root):
         t = len(out["frame_indices"])
         assert len(out["pred_bboxes"]) == t
         assert sorted(out["frame_indices"]) == list(range(t))
+
+
+def test_device_preprocess_raw_path(synth_root):
+    """Raw device-preprocess mode (`device_preprocess=True`): the dataset
+    ships ONE raw uint8 copy per clip (frames_clip IS frames_sam),
+    `center_stacks` uploads it once (fc is fs), the model runs the
+    shortest-edge/longest-side geometry in-graph within ~2 uint8 levels
+    of the host preprocessing, and the batched driver produces the same
+    output surface end-to-end."""
+    import dataclasses
+
+    import jax
+    from grove_tpu.data.preprocess import clip_preprocess, sam_preprocess
+    from grove_tpu.infer.drivers import (FullClipIGroundDataset,
+                                         run_inference)
+    from grove_tpu.infer.sliding import center_stacks
+    from grove_tpu.text.mock_tokenizer import MockTokenizer
+    from grove_tpu.text.tokenizer import special_token_ids_from
+
+    cfg = GroveConfig.tiny()
+    tok = MockTokenizer()
+    cfg = dataclasses.replace(cfg, tokens=special_token_ids_from(tok))
+    ann_dir, video_dir, keys = synth_root
+    ds = FullClipIGroundDataset(ann_dir, video_dir, cfg,
+                                device_preprocess=True)
+    s = ds[0]
+    assert s["frames_clip"] is s["frames_sam"]
+    assert s["frames_clip"].dtype == np.uint8
+    assert "sam_valid_hw" not in s
+    raw = s["frames_clip"]
+    assert raw.shape[1:3] != (cfg.clip.image_size, cfg.clip.image_size)
+
+    # in-graph geometry parity vs the host mirrors (PIL vs jax.image
+    # resamplers differ by quantization-level amounts, not structure)
+    model, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.float32)
+    nc = np.asarray(model.apply(variables, jnp.asarray(raw[None]),
+                                method=GroveModel._norm_clip))[0]
+    ns = np.asarray(model.apply(variables, jnp.asarray(raw[None]),
+                                method=GroveModel._norm_sam))[0]
+    hc = np.stack([clip_preprocess(f, cfg.clip.image_size) for f in raw])
+    hs = np.stack([sam_preprocess(f, cfg.sam_enc.img_size) for f in raw])
+    assert nc.shape == hc.shape and ns.shape == hs.shape
+    assert np.abs(nc - hc).mean() < 0.02, np.abs(nc - hc).mean()
+    assert np.abs(ns - hs).mean() < 0.02, np.abs(ns - hs).mean()
+    # pad region is exactly zero (normalize-then-pad reference order)
+    scale = cfg.sam_enc.img_size / max(raw.shape[1:3])
+    vh = int(raw.shape[1] * scale + 0.5)
+    assert np.all(ns[:, vh:, :] == 0.0)
+
+    # one upload for both towers
+    metas, fc, fs, valid = center_stacks([ds[0], ds[1]], cfg.num_frames)
+    assert fs is fc and valid is None
+
+    outs = run_inference(ds, model, variables, cfg, tok,
+                         max_new_tokens=4, clip_batch=2, progress=False)
+    assert len(outs) == 3
+    for out in outs.values():
+        t = len(out["frame_indices"])
+        assert len(out["pred_bboxes"]) == t
+        assert sorted(out["frame_indices"]) == list(range(t))
+
+
+def test_device_preprocess_yuv_path(synth_root):
+    """YUV420 shipping mode (`device_preprocess="yuv"`): the decoder
+    emits packed (T, 3H/2, W) 4:2:0 planes (half the bytes of RGB24 —
+    H2D bandwidth bounds e2e inference), the model converts BT.601
+    limited-range + resizes in-graph, and the batched driver runs
+    end-to-end. Conversion matrices mirror swscale's SD default
+    (verified mean |d| 0.07 vs sws output on smooth frames; 4:2:0
+    chroma subsampling is lossless for real 4:2:0 video sources)."""
+    import dataclasses
+
+    import jax
+    from grove_tpu.data.preprocess import rgb_to_yuv420, yuv420_to_rgb
+    from grove_tpu.infer.drivers import (FullClipIGroundDataset,
+                                         run_inference)
+    from grove_tpu.text.mock_tokenizer import MockTokenizer
+    from grove_tpu.text.tokenizer import special_token_ids_from
+
+    # in-graph YUV->RGB == host mirror exactly (same matrices, same
+    # nearest-neighbor chroma upsample)
+    cfg = GroveConfig.tiny()
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, size=(2, 48, 64, 3), dtype=np.uint8)
+    yuv = rgb_to_yuv420(rgb)
+    model = GroveModel(cfg, dtype=jnp.float32)
+    dev = np.asarray(model.apply(
+        {"params": {}}, jnp.asarray(yuv[None]),
+        method=GroveModel._yuv420_to_rgb))[0]
+    host = yuv420_to_rgb(yuv).astype(np.float32)
+    assert np.abs(dev - host).max() <= 1.0, np.abs(dev - host).max()
+
+    tok = MockTokenizer()
+    cfg = dataclasses.replace(cfg, tokens=special_token_ids_from(tok))
+    ann_dir, video_dir, keys = synth_root
+    ds = FullClipIGroundDataset(ann_dir, video_dir, cfg,
+                                device_preprocess="yuv")
+    s = ds[0]
+    assert s["frames_clip"] is s["frames_sam"]
+    assert s["frames_clip"].ndim == 3          # packed (T, 3H/2, W)
+    assert s["frames_clip"].dtype == np.uint8
+
+    _, variables = init_grove_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)
+    model = GroveModel(cfg, dtype=jnp.float32)
+    outs = run_inference(ds, model, variables, cfg, tok,
+                         max_new_tokens=4, clip_batch=2, progress=False)
+    assert len(outs) == 3
+    for out in outs.values():
+        t = len(out["frame_indices"])
+        assert len(out["pred_bboxes"]) == t
+        assert sorted(out["frame_indices"]) == list(range(t))
