@@ -71,6 +71,12 @@ def main():
     p.add_argument("--mean_gap_ms", default=150.0, type=float)
     p.add_argument("--max_new", default=32, type=int)
     p.add_argument("--slots", default=4, type=int)
+    p.add_argument("--capacity", default=0, type=int,
+                   help="continuous-engine KV rows per slot (0 = the "
+                        "config default spliced_seq_len + 4*max_new = "
+                        "2239 — 1.17 GB/slot bf16, too big next to the "
+                        "full-scale weights; the fixed-prompt workload "
+                        "here needs prompt bucket + a decode horizon)")
     p.add_argument("--engines", default="batch,continuous",
                    help="comma list: batch, continuous")
     p.add_argument("--timeout_s", default=300.0, type=float,
@@ -131,8 +137,9 @@ def main():
             pad_batches=(args.model_size == "full")),
         "continuous": lambda: ContinuousService(
             proc, model, variables, n_slots=args.slots,
-            max_new_tokens=args.max_new),
+            max_new_tokens=args.max_new, capacity=args.capacity),
     }
+    report["capacity"] = args.capacity or None
     report["pad_batches"] = args.model_size == "full"
     for name in args.engines.split(","):
         eng = builders[name]()

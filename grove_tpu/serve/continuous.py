@@ -111,8 +111,9 @@ class ContinuousEngine:
 
         self.state = init_state()
         # column where the NEXT decode tick writes; prompts are inserted
-        # to its left, so it starts at the max prompt span
-        self.col = self.cfg.spliced_seq_len
+        # to its left, so it starts at the max prompt span the capacity
+        # leaves room for (== spliced_seq_len at the default capacity)
+        self.col = self.capacity - 4 * self.max_new
         for s in self._slots:
             s.active = False
 
@@ -330,7 +331,7 @@ class ContinuousEngine:
                         cur_tok=jnp.zeros((b,), jnp.int32),
                         steps=jnp.zeros((b,), jnp.int32))
         self.state = clear(self.state)
-        self.col = self.cfg.spliced_seq_len
+        self.col = self.capacity - 4 * self.max_new
 
     def pop_result(self, request_id: int) -> Optional[Dict]:
         return self._results.pop(request_id, None)
@@ -363,17 +364,27 @@ class ContinuousService:
     """
 
     def __init__(self, processor, model, variables, *, n_slots: int = 4,
-                 max_new_tokens: int = 64, prompt_bucket: int = 64):
+                 max_new_tokens: int = 64, prompt_bucket: int = 64,
+                 capacity: int = 0, cache_dtype=jnp.bfloat16):
         import threading
 
         self.processor = processor
         self.model = model
         self.variables = variables
         self.max_new = max_new_tokens
+        # capacity sizing matters at full scale: the default
+        # (spliced_seq_len + 4*max_new = 2239 rows) covers the LONGEST
+        # caption config and costs 1.17 GB/slot in bf16 — 4 slots next
+        # to the 5.77 GB weights exceeds one chip's HBM with the
+        # encoder transients (measured OOM, NOTES_ROUND5). Serving a
+        # known prompt surface should pass the actual need (prompt
+        # bucket + decode horizon).
         self.engine = ContinuousEngine(model, variables, processor.cfg,
                                        n_slots=n_slots,
                                        max_new_tokens=max_new_tokens,
-                                       prompt_bucket=prompt_bucket)
+                                       prompt_bucket=prompt_bucket,
+                                       capacity=capacity,
+                                       cache_dtype=cache_dtype)
         self._pending: "list" = []
         self._events: Dict[int, object] = {}
         self._gen_results: Dict[int, Dict] = {}
@@ -434,10 +445,24 @@ class ContinuousService:
         import threading
 
         def backend(spliced_ids, video_start, fc, fs):
-            ve, _ = self.model.apply(self.variables, fc,
-                                     method=GroveModel.encode_video)
-            img = self.model.apply(self.variables, fs,
-                                   method=GroveModel.encode_grounding)
+            # jitted encoders: a bare model.apply here runs EAGERLY —
+            # pathological through the relay AND every SAM intermediate
+            # materializes to HBM, which OOMs at full scale next to the
+            # weights + slot caches (measured, NOTES_ROUND5)
+            from ..infer.jit_utils import apply_jit, encode_grounding_auto
+            ve, _ = apply_jit(self.model, self.variables, fc,
+                              method="encode_video")
+            img = encode_grounding_auto(self.model, self.variables, fs)
+            # a prompt whose bucket exceeds what the capacity leaves for
+            # admission would wait forever — reject it up front
+            lb = -(-len(spliced_ids) // self.engine.bucket) \
+                * self.engine.bucket
+            max_admit = self.engine.capacity - 4 * self.engine.max_new
+            if lb > max_admit:
+                raise ValueError(
+                    f"prompt bucket {lb} exceeds the engine's admission "
+                    f"window {max_admit} (capacity "
+                    f"{self.engine.capacity}); raise `capacity`")
             ev = threading.Event()
             with self._lock:
                 if len(self._pending) >= self.max_queue:

@@ -170,3 +170,30 @@ def test_continuous_service_matches_batch_engine(setup, tmp_path):
     finally:
         svc.close()
         batch.close()
+
+
+def test_custom_capacity_matches_offline(setup):
+    """A tight custom capacity (full-scale serving sizes the KV to the
+    actual prompt bucket + decode horizon instead of the 2239-row
+    default — NOTES_ROUND5 OOM) keeps tokens bit-identical to offline:
+    the column pointer starts at capacity - 4*max_new."""
+    cfg, model, variables, reqs = setup
+    cap = 32 + 4 * MAX_NEW                 # prompt bucket + horizon
+    eng = ContinuousEngine(model, variables, cfg, n_slots=2,
+                           max_new_tokens=MAX_NEW, prompt_bucket=16,
+                           cache_dtype=jnp.float32, capacity=cap)
+    assert eng.capacity == cap and eng.col == cap - 4 * MAX_NEW
+    for rid, req in enumerate(reqs):
+        if not eng.free_slots():
+            eng.run_until_idle()
+        eng.admit(rid, req["ids"], req["ve"], req["vstart"], req["img"])
+    eng.run_until_idle()
+    for rid, req in enumerate(reqs):
+        res = eng.pop_result(rid)
+        assert res is not None, rid
+        ref_gen, ref_boxes = offline(cfg, model, variables, req)
+        steps = res["steps"]
+        np.testing.assert_array_equal(res["generated_ids"],
+                                      ref_gen[:steps])
+        np.testing.assert_allclose(res["pred_boxes"], ref_boxes,
+                                   rtol=2e-4, atol=2e-5)
