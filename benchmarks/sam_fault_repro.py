@@ -33,7 +33,8 @@ CHUNK_FRAMES = 32   # the faulting config's chunk size (b32 / sam_chunk 8
                     # = 8 chunks of 4 clips x 8 frames)
 
 
-def child(frames: int) -> None:
+def child(frames: int, harness: str = "single",
+          ballast: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -47,6 +48,17 @@ def child(frames: int) -> None:
     t = cfg.num_frames
     b = frames // t
 
+    extra = []
+    if ballast:
+        # the buffers full_scale.py keeps resident beside the SAM stage:
+        # the CLIP frame batch + spliced ids (weights already live)
+        extra.append(jax.jit(lambda: jnp.zeros(
+            (b, t, cfg.clip.image_size, cfg.clip.image_size, 3),
+            jnp.bfloat16))())
+        extra.append(jax.jit(lambda: jnp.zeros(
+            (b, cfg.num_video_tokens + 64), jnp.int32))())
+        jax.block_until_ready(extra)
+
     def sam_fn(p, f):  # the exact full_scale.py --sam_chunk shape
         fr = f.reshape(nch, b // nch, *f.shape[1:])
         out = jax.lax.map(
@@ -57,6 +69,17 @@ def child(frames: int) -> None:
 
     fs = jnp.zeros((b, t, cfg.sam_enc.img_size, cfg.sam_enc.img_size, 3),
                    jnp.bfloat16)
+    if harness == "timed":
+        # the EXACT bench harness the fault occurred under: timed_loop
+        # chains iters+extra invocations of the chunked stage inside
+        # single jitted loop programs, carries perturbing every input
+        # (full_scale.py `stage()` -> _timing.timed_loop)
+        from _timing import timed_loop
+        secs = timed_loop(lambda f: sam_fn(params, f), fs, iters=2,
+                          repeats=3)
+        print(f"child OK frames={frames} chunks={nch} harness=timed "
+              f"({secs * 1e3:.0f} ms)", flush=True)
+        return
     out = jax.jit(sam_fn)(params, fs)
     # scalar fetch: forces completion without the 67 MB embedding transfer
     float(out[(0,) * out.ndim])
@@ -66,6 +89,14 @@ def child(frames: int) -> None:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--child", default=0, type=int)
+    p.add_argument("--harness", default="single",
+                   choices=["single", "timed"],
+                   help="'timed' replicates the bench's chained "
+                        "timed_loop programs (the context the fault "
+                        "occurred under)")
+    p.add_argument("--ballast", action="store_true",
+                   help="also keep the bench's CLIP-frame/ids buffers "
+                        "resident")
     p.add_argument("--sizes", default="128,192,224,256")
     p.add_argument("--timeout", default=1500, type=int,
                    help="per-size budget (cold SAM compile is minutes)")
@@ -73,17 +104,19 @@ def main():
                                                  "SAM_FAULT_REPRO.json"))
     args = p.parse_args()
     if args.child:
-        child(args.child)
+        child(args.child, args.harness, args.ballast)
         return
 
     results = []
     for frames in [int(s) for s in args.sizes.split(",")]:
         t0 = time.time()
         try:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--child", str(frames), "--harness", args.harness]
+            if args.ballast:
+                cmd.append("--ballast")
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", str(frames)],
-                timeout=args.timeout, capture_output=True, text=True)
+                cmd, timeout=args.timeout, capture_output=True, text=True)
             status = ("ok" if r.returncode == 0 else
                       f"fault rc={r.returncode}")
             tail = (r.stdout + r.stderr).strip().splitlines()[-3:]
