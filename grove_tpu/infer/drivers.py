@@ -339,6 +339,13 @@ def main(argv=None):
     p.add_argument("--output", default="predictions.pkl")
     p.add_argument("--max_new_tokens", default=64, type=int)
     p.add_argument("--max_frames", default=512, type=int)
+    p.add_argument("--device_preprocess", default="host",
+                   choices=["host", "rgb", "yuv"],
+                   help="iground only: ship raw RGB or native YUV420 "
+                        "frames and resize/normalize in-graph instead "
+                        "of host preprocessing (halves/quarters "
+                        "host->device bytes; geometry parity within "
+                        "1-2 uint8 levels — see PARITY.md)")
     p.add_argument("--seed", default=42, type=int)
     # decode knobs (generation-bearing tasks; the reference is greedy-only)
     p.add_argument("--num_beams", default=1, type=int)
@@ -421,8 +428,11 @@ def main(argv=None):
                 f"caption-given task {args.task!r}")
 
     if args.task == "iground":
-        dataset = FullClipIGroundDataset(args.ann_dir, args.video_dir, cfg,
-                                         max_frames=args.max_frames)
+        dataset = FullClipIGroundDataset(
+            args.ann_dir, args.video_dir, cfg,
+            max_frames=args.max_frames,
+            device_preprocess={"host": False, "rgb": True,
+                               "yuv": "yuv"}[args.device_preprocess])
         outputs = run_inference(dataset, model, variables, cfg, tokenizer,
                                 max_new_tokens=args.max_new_tokens,
                                 rank=jax.process_index(),
