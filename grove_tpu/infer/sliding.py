@@ -224,6 +224,11 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+# device copies of the (fixed-prompt, batch) spliced prompt arrays —
+# see infer_clips_batched
+_PROMPT_DEV_CACHE: Dict = {}
+
+
 def _finish_clip(model, variables, cfg, tokenizer, frames_clip_all,
                  frames_sam_all, original_size, windows, masks, ci, center,
                  text_output, parsed, phrases, num_dets, threshold,
@@ -390,28 +395,44 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
     else:
         instructions = [instruction] * b
 
-    prompt_rows, starts = [], []
-    for ins in instructions:
-        prompt_ids = tokenize_with_video(grounding_prompt(question=ins),
-                                         tokenizer)
-        packed = pack_text(prompt_ids, None, tokenizer,
-                           num_video_tokens=cfg.num_video_tokens,
-                           max_spliced_len=len(prompt_ids) - 1
-                           + cfg.num_video_tokens,
-                           det_token_id=cfg.tokens.det,
-                           max_phrases=cfg.max_phrases,
-                           pad_id=tokenizer.pad_token_id, with_labels=False)
-        prompt_rows.append(packed.input_ids)
-        starts.append(int(packed.video_start))
+    # The iGround instruction is FIXED, so every group's prompt batch is
+    # the same arrays — cache the DEVICE copies so steady-state groups
+    # skip ~4 small relay round trips per launch (each device_put is a
+    # ~30 ms RTT through the relay; the e2e gap table attributes the
+    # model_s - stage-sum residual to exactly these)
+    ck = (tuple(instructions), b, id(tokenizer))
+    cached = _PROMPT_DEV_CACHE.get(ck)
+    if cached is None:
+        prompt_rows, starts = [], []
+        for ins in instructions:
+            prompt_ids = tokenize_with_video(
+                grounding_prompt(question=ins), tokenizer)
+            packed = pack_text(prompt_ids, None, tokenizer,
+                               num_video_tokens=cfg.num_video_tokens,
+                               max_spliced_len=len(prompt_ids) - 1
+                               + cfg.num_video_tokens,
+                               det_token_id=cfg.tokens.det,
+                               max_phrases=cfg.max_phrases,
+                               pad_id=tokenizer.pad_token_id,
+                               with_labels=False)
+            prompt_rows.append(packed.input_ids)
+            starts.append(int(packed.video_start))
 
-    if len({len(r) for r in prompt_rows}) == 1:
-        ids = np.stack(prompt_rows)
-        vs = np.asarray(starts, np.int32)
-        pad_lens = None
+        if len({len(r) for r in prompt_rows}) == 1:
+            ids = jnp.asarray(np.stack(prompt_rows))
+            vs = jnp.asarray(np.asarray(starts, np.int32))
+            pad_lens = None
+        else:
+            ids_np, vs_np, pad_np = left_pad_prompts(
+                prompt_rows, starts, pad_id=tokenizer.pad_token_id,
+                pad_to_multiple=64)
+            ids, vs = jnp.asarray(ids_np), jnp.asarray(vs_np)
+            pad_lens = jnp.asarray(pad_np)
+        if len(_PROMPT_DEV_CACHE) >= 16:
+            _PROMPT_DEV_CACHE.clear()
+        _PROMPT_DEV_CACHE[ck] = (ids, vs, pad_lens)
     else:
-        ids, vs, pad_lens = left_pad_prompts(
-            prompt_rows, starts, pad_id=tokenizer.pad_token_id,
-            pad_to_multiple=64)
+        ids, vs, pad_lens = cached
 
     gen = generate_grounded(
         model, variables, cfg, tokenizer, ids, vs, fc_dev, fs_dev,
