@@ -206,7 +206,7 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
                       top_p: float = 1.0, rng_key=None,
                       num_beams: int = 1,
                       length_penalty: float = 1.0,
-                      sam_valid_hw=None) -> Dict:
+                      sam_valid_hw=None, spliced_ids_np=None) -> Dict:
     """Single-call grounded caption generation (evaluate-mode equivalent).
 
     Host orchestration: encoders -> greedy decode -> host det-position
@@ -238,7 +238,11 @@ def generate_grounded(model: GroveModel, variables, cfg: GroveConfig,
             top_p=top_p, rng_key=rng_key)
 
     gen_np = np.asarray(gen_ids)
-    full_ids = np.concatenate([np.asarray(spliced_ids), gen_np], axis=1)
+    # spliced_ids may be a cached DEVICE array (infer_clips_batched);
+    # callers pass the host copy alongside to avoid a fetch round trip
+    if spliced_ids_np is None:
+        spliced_ids_np = np.asarray(spliced_ids)
+    full_ids = np.concatenate([spliced_ids_np, gen_np], axis=1)
 
     b = full_ids.shape[0]
     det_positions = np.zeros((b, cfg.max_phrases), np.int32)

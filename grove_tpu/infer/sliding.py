@@ -419,7 +419,8 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
             starts.append(int(packed.video_start))
 
         if len({len(r) for r in prompt_rows}) == 1:
-            ids = jnp.asarray(np.stack(prompt_rows))
+            ids_np = np.stack(prompt_rows)
+            ids = jnp.asarray(ids_np)
             vs = jnp.asarray(np.asarray(starts, np.int32))
             pad_lens = None
         else:
@@ -430,14 +431,18 @@ def infer_clips_batched(model: GroveModel, variables, cfg: GroveConfig,
             pad_lens = jnp.asarray(pad_np)
         if len(_PROMPT_DEV_CACHE) >= 16:
             _PROMPT_DEV_CACHE.clear()
-        _PROMPT_DEV_CACHE[ck] = (ids, vs, pad_lens)
+        # host copy rides along: generate_grounded needs the ids on host
+        # for det-position extraction, and np.asarray on the cached
+        # DEVICE array would be a fetch round trip per group
+        _PROMPT_DEV_CACHE[ck] = (ids, vs, pad_lens, ids_np)
     else:
-        ids, vs, pad_lens = cached
+        ids, vs, pad_lens, ids_np = cached
 
     gen = generate_grounded(
         model, variables, cfg, tokenizer, ids, vs, fc_dev, fs_dev,
         max_new_tokens=max_new_tokens, pad_lens=pad_lens,
-        sam_valid_hw=valid_dev, **(decode_kwargs or {}))
+        sam_valid_hw=valid_dev, spliced_ids_np=ids_np,
+        **(decode_kwargs or {}))
 
     outputs = []
     for i, (s, (windows, masks, ci, center)) in enumerate(zip(samples,
